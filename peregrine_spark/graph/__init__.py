@@ -1,0 +1,15 @@
+from peregrine_spark.graph.build import (
+    GraphTables,
+    build_graph,
+    canonical_edges,
+    edges_from_pairs,
+    symmetrized,
+)
+
+__all__ = [
+    "GraphTables",
+    "build_graph",
+    "canonical_edges",
+    "edges_from_pairs",
+    "symmetrized",
+]

@@ -1,0 +1,174 @@
+"""Graph ingest: source-repo table → canonical edge table + vertex dictionary.
+
+Semantic parity with the reference's converter (core/DataConverter.cc):
+  * drop self-loops and duplicate edges   (DataConverter.cc:112-119, 349-359)
+  * drop degree-0 vertices                (DataConverter.cc:290-293)
+  * renumber vertices 1-based, contiguous, by DESCENDING degree
+                                          (DataConverter.cc:283-304)
+  * keep an id↔key dictionary             (ids.bin, DataGraph.cc:128-143)
+
+The degree-descending renumbering is load-bearing: symmetry-breaking
+predicates are ``id(u) < id(v)`` comparisons, so putting hubs at small ids
+makes range pruning shear off hub work early — and it tells us exactly which
+ids to salt for shuffle skew (the smallest ones).
+
+Spark-first HOW: everything is DataFrame ops — regexp extraction for import
+edges, a window-lag chain for co-commit edges (capped fan-out: a commit with
+k files contributes k-1 chain edges, NOT a k-clique — at 10^12 files a mega-
+commit must not explode quadratically), groupBy for degrees. The only
+non-DataFrame step is ``zipWithIndex`` for contiguous rank assignment, which
+is the standard two-pass distributed idiom (per-partition counts, then
+offsets) and avoids a single-partition global Window sort.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class GraphTables:
+    """The engine's data-graph representation.
+
+    vertices: (v: long, key: string, label: long, degree: long) — v is
+        1-based contiguous, degree-descending (ties broken by key).
+    edges: (src: long, dst: long) — canonical (src < dst), deduped,
+        loop-free. Symmetrize with :func:`symmetrized` when both
+        directions are needed.
+    labels: (label: long, lang: string) — label dictionary.
+    """
+
+    vertices: DataFrame
+    edges: DataFrame
+    labels: DataFrame
+
+    @property
+    def id_dict(self) -> DataFrame:
+        return self.vertices.select("v", "key")
+
+
+def import_edges(src_df: DataFrame) -> DataFrame:
+    """(key, other_key) pairs parsed from ``import <repo:path>`` lines."""
+    key = F.concat_ws(":", "repo", "path")
+    return (
+        src_df.select(
+            key.alias("a"),
+            F.explode(
+                F.regexp_extract_all(F.col("content"), F.lit(r"import ([^\n]+)"), 1)
+            ).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def co_commit_edges(src_df: DataFrame) -> DataFrame:
+    """Chain edges between consecutive paths (sorted by key) within a commit.
+
+    Capped fan-out by construction: one commit touching k files yields k-1
+    edges. The per-commit sort is a partitioned window — no global sort.
+    """
+    key = F.concat_ws(":", "repo", "path")
+    per_commit = src_df.select(F.col("commit"), key.alias("a")).dropDuplicates(
+        ["commit", "a"]
+    )
+    w = Window.partitionBy("commit").orderBy("a")
+    return (
+        per_commit.withColumn("b", F.lag("a").over(w))
+        .where(F.col("b").isNotNull())
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def edges_from_pairs(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Undirected canonicalization of arbitrary pair rows: drop loops,
+    orient (least, greatest), dedupe. Works for string or numeric keys."""
+    return (
+        pairs.where(F.col(a) != F.col(b))
+        .select(
+            F.least(F.col(a), F.col(b)).alias("src"),
+            F.greatest(F.col(a), F.col(b)).alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def canonical_edges(edges: DataFrame) -> DataFrame:
+    """Canonicalize an integer edge table to (src < dst), deduped, loop-free."""
+    return edges_from_pairs(edges, "src", "dst")
+
+
+def symmetrized(edges: DataFrame) -> DataFrame:
+    """Both directions of a canonical edge table (the reference's CSR stores
+    both directions too — DataGraph adjacency is undirected)."""
+    return edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def assign_degree_ids(key_edges: DataFrame) -> DataFrame:
+    """(key_src, key_dst) canonical string-key edges → vertex dictionary
+    (v, key, degree) with v = 1-based contiguous, degree-descending, ties by
+    key ascending. Degree-0 keys never appear (they have no edge rows) —
+    mirroring the reference's deletion of degree-0 vertices.
+
+    Implementation: degree via groupBy-count over the symmetrized view, then
+    sortWithinPartitions-free global ordering via ``repartitionByRange`` +
+    ``zipWithIndex`` (two linear passes, no single-task sort).
+    """
+    both = key_edges.select(F.col("src").alias("key")).union(
+        key_edges.select(F.col("dst").alias("key"))
+    )
+    degrees = both.groupBy("key").agg(F.count("*").alias("degree"))
+    # Range-partition by the sort key, sort within partitions, then
+    # zipWithIndex computes per-partition offsets in one extra job.
+    ordered = degrees.repartitionByRange(
+        max(degrees.sparkSession.sparkContext.defaultParallelism, 8),
+        F.col("degree").desc(),
+        F.col("key").asc(),
+    ).sortWithinPartitions(F.col("degree").desc(), F.col("key").asc())
+    spark = key_edges.sparkSession
+    with_ids = ordered.rdd.zipWithIndex().map(
+        lambda t: (t[1] + 1, t[0]["key"], t[0]["degree"])
+    )
+    return spark.createDataFrame(with_ids, "v long, key string, degree long")
+
+
+def build_graph(src_df: DataFrame, include_co_commit: bool = True) -> GraphTables:
+    """Full ingest: source-repo rows → GraphTables."""
+    imp = import_edges(src_df)
+    pairs = imp.union(co_commit_edges(src_df)) if include_co_commit else imp
+    key_edges = edges_from_pairs(pairs)
+
+    vmap = assign_degree_ids(key_edges)
+
+    # lang per key (deterministic in our generator; FIRST by key otherwise)
+    key = F.concat_ws(":", "repo", "path")
+    key_lang = (
+        src_df.select(key.alias("key"), "lang")
+        .groupBy("key")
+        .agg(F.min("lang").alias("lang"))
+    )
+    langs = (
+        key_lang.select("lang")
+        .distinct()
+        .orderBy("lang")
+        .withColumn("label", F.row_number().over(Window.orderBy("lang")).cast("long"))
+    )
+    vertices = (
+        vmap.join(key_lang, "key", "left")
+        .join(F.broadcast(langs), "lang", "left")
+        .select("v", "key", F.coalesce("label", F.lit(0)).alias("label"), "degree")
+    )
+
+    v_of = vmap.select("v", "key")
+    edges = (
+        key_edges.join(v_of.withColumnRenamed("key", "src").withColumnRenamed("v", "sv"), "src")
+        .join(v_of.withColumnRenamed("key", "dst").withColumnRenamed("v", "dv"), "dst")
+        .select(
+            F.least("sv", "dv").alias("src"), F.greatest("sv", "dv").alias("dst")
+        )
+    )
+    return GraphTables(vertices=vertices, edges=edges, labels=langs.select("label", "lang"))

@@ -1,0 +1,127 @@
+"""The engine's query surface: match / count / existence / output.
+
+Parity with the reference apps (apps/count.cc, apps/existence-query.cc,
+apps/output.cc, apps/match.cc) re-expressed as DataFrame programs:
+
+  * ``match``      → DataFrame of unique matches (columns v<p>) — the
+                     reference's ``process`` callback surface becomes
+                     "any DataFrame transform over the matches".
+  * ``count``      → total count per pattern; motif sets are auto-converted
+                     to edge-induced matching + driver-side conversion
+                     (core/Peregrine.hh:1246-1272 fast path).
+  * ``existence``  → LIMIT-1 early termination (the Catalyst analogue of the
+                     reference's StopExploration, core/Barrier.hh:61-70).
+  * ``output``     → materialize matches to parquet/csv, optionally remapped
+                     to original keys (OutputManager, core/OutputManager.hh).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from peregrine_spark.graph.build import symmetrized
+from peregrine_spark.patterns.small_graph import PatternGenerator, SmallGraph
+from peregrine_spark.plans.compiler import MatchPlan, compile_match
+from peregrine_spark.plans.counts import convert_counts
+
+
+def match(
+    edges: DataFrame,
+    pattern: SmallGraph,
+    vertices: DataFrame | None = None,
+) -> DataFrame:
+    """Unique matches of ``pattern`` in the canonical (src<dst) edge table."""
+    return compile_match(symmetrized(edges), pattern, vertices).df
+
+
+def _strip_anti(p: SmallGraph) -> SmallGraph:
+    return SmallGraph(edges=p.true_edges(), labels=dict(p.labels))
+
+
+def _is_vertex_induced_motif_set(patterns: list[SmallGraph]) -> bool:
+    """True if patterns are all same-size, unlabelled, with anti-edges
+    exactly the complement of true edges (the reference's trigger for the
+    edge-induced + convert_counts fast path, core/Peregrine.hh:1246-1272)."""
+    if not patterns or any(p.labels for p in patterns):
+        return False
+    size = patterns[0].num_vertices
+    if any(p.num_vertices != size for p in patterns):
+        return False
+    if len(patterns) < 2:
+        return False
+    import itertools
+
+    for p in patterns:
+        pairs = set(itertools.combinations(sorted(p.vertices), 2))
+        if set(p.true_edges()) | set(p.anti_edge_list()) != pairs:
+            return False
+        if set(p.true_edges()) & set(p.anti_edge_list()):
+            return False
+    # must cover every connected pattern of this size for the triangular solve
+    return len(patterns) == len(PatternGenerator.all(size, vertex_based=False))
+
+
+def count(
+    edges: DataFrame,
+    patterns: list[SmallGraph] | SmallGraph,
+    vertices: DataFrame | None = None,
+) -> list[tuple[SmallGraph, int]]:
+    """Exact unique-occurrence counts, one per pattern."""
+    if isinstance(patterns, SmallGraph):
+        patterns = [patterns]
+    sym = symmetrized(edges)
+    if _is_vertex_induced_motif_set(patterns):
+        stripped = [_strip_anti(p) for p in patterns]
+        edge_counts = [
+            (p, compile_match(sym, p, vertices).df.count()) for p in stripped
+        ]
+        converted = convert_counts(edge_counts)
+        # map converted counts back to the caller's (anti-edged) patterns
+        conv = {p: c for p, c in converted}  # SmallGraph __eq__/__hash__ = canonical
+        return [(orig, conv[strip]) for orig, strip in zip(patterns, stripped)]
+    return [(p, compile_match(sym, p, vertices).df.count()) for p in patterns]
+
+
+def count_motifs(
+    edges: DataFrame, size: int, vertex_induced: bool = True
+) -> list[tuple[SmallGraph, int]]:
+    """k-motif counting (apps/count.cc '3-motifs' etc.)."""
+    if vertex_induced:
+        pats = PatternGenerator.all(size, vertex_based=True, anti_edges=True)
+    else:
+        pats = PatternGenerator.all(size, vertex_based=False)
+    return count(edges, pats)
+
+
+def existence(
+    edges: DataFrame, pattern: SmallGraph, vertices: DataFrame | None = None
+) -> bool:
+    """Does the pattern occur at all? LIMIT-1 early termination."""
+    df = match(edges, pattern, vertices)
+    return len(df.limit(1).take(1)) > 0
+
+
+def output(
+    edges: DataFrame,
+    pattern: SmallGraph,
+    path: str,
+    vertices: DataFrame | None = None,
+    id_dict: DataFrame | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Materialize all matches under ``path`` (one dir per pattern, like the
+    reference's dir-per-pattern CSV layout). If ``id_dict`` (v, key) is
+    given, vertex ids are remapped to original keys on write (the
+    reference's ids.bin remap, core/OutputManager.hh:130-143)."""
+    m = match(edges, pattern, vertices)
+    if id_dict is not None:
+        vcols = list(m.columns)
+        for c in vcols:
+            d = id_dict.select(F.col("v").alias(c), F.col("key").alias(f"{c}_key"))
+            m = m.join(d, c)
+        m = m.select(*[F.col(f"{c}_key").alias(c) for c in vcols])
+    dest = f"{path}/{pattern.to_string().replace(',', '_').replace('[', '').replace(']', '')}"
+    writer = m.write.mode("overwrite")
+    (writer.parquet(dest) if fmt == "parquet" else writer.csv(dest))
+    return m

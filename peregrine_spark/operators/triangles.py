@@ -1,0 +1,78 @@
+"""Triangle counting — the engine's flagship single query.
+
+Reference semantics: ``count(clique(3))`` — each triangle counted exactly
+once via the symmetry-breaking total order v1 < v2 < v3 (the clique's
+automorphism group is the full symmetric group, so the partial order is a
+chain — core/Graph.hh conditions for cliques).
+
+Spark-first HOW (not the reference's DFS): the classic degree-oriented
+two-join plan. Orient every edge from its lower-degree endpoint to its
+higher-degree endpoint; the oriented out-degree is then O(sqrt(|E|)), which
+bounds the size of the wedge join and kills hub skew *structurally* (the
+same skew the reference handles with MPI work stealing, RangeQueue.hh).
+Because ingest renumbers vertices by DESCENDING degree, "higher degree" ==
+"smaller id", so orientation is simply (src > dst) on renumbered ids and the
+count is a pure two-join + count over the canonical edge table:
+
+    tri = |{(u,v,w) : u→v, u→w, v→w in E_oriented, v > w}|
+
+Every predicate is an equi-join key or a range filter — fully Catalyst-
+optimizable, whole-stage codegen, AQE-skew-splittable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Orient canonical (src<dst) edges from the lower-degree endpoint to the
+    higher-degree endpoint. Ids ascend as degree descends, so the higher id
+    is the lower-degree endpoint: orient from greatest(id) to least(id)."""
+    return edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Total triangle count. ``edges`` is the canonical (src<dst) table with
+    degree-descending ids (any consistent ids work; degree-descending ids
+    make the oriented fan-out sqrt-bounded). Returns 1 row: (triangles)."""
+    e = _oriented(edges).alias("e1")
+    e2 = _oriented(edges).alias("e2")
+    e3 = _oriented(edges).alias("e3")
+    wedges = e.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src")) & (F.col("e1.dst") > F.col("e2.dst")),
+    )
+    tris = wedges.join(
+        e3,
+        (F.col("e1.dst") == F.col("e3.src")) & (F.col("e2.dst") == F.col("e3.dst")),
+        "left_semi",
+    )
+    return tris.agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle participation: (v, triangles). Each triangle
+    contributes 1 to each of its three vertices."""
+    e = _oriented(edges).alias("e1")
+    e2 = _oriented(edges).alias("e2")
+    e3 = _oriented(edges).alias("e3")
+    tri = (
+        e.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src")) & (F.col("e1.dst") > F.col("e2.dst")),
+        )
+        .join(
+            e3,
+            (F.col("e1.dst") == F.col("e3.src")) & (F.col("e2.dst") == F.col("e3.dst")),
+            "left_semi",
+        )
+        .select(
+            F.col("e1.src").alias("a"), F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c")
+        )
+    )
+    stacked = tri.selectExpr("stack(3, a, b, c) as (v)")
+    return stacked.groupBy("v").agg(F.count(F.lit(1)).alias("triangles"))

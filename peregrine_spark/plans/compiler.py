@@ -1,0 +1,179 @@
+"""Pattern → Catalyst join plan compiler.
+
+This is the Spark-native replacement for the reference's matching engine:
+where the reference walks a DFS with sorted-set intersection kernels
+(core/PatternMatching.hh:1312-1399 ``map_into``, :1115-1217
+``get_next_cand``), we compile the pattern into a *k-way self-join of the
+edge table* and let Catalyst/AQE pick physical strategies:
+
+  * one INNER equi-join per pattern vertex beyond the first edge (M1),
+  * LEFT SEMI joins for additional adjacency constraints (M2/M3),
+  * LEFT ANTI joins for anti-edges (M4) and anti-vertices (M9),
+  * symmetry-breaking ``<`` predicates from the automorphism group (M5),
+  * injectivity ``!=`` predicates (M7),
+  * label equi-filters via the vertex table (M8).
+
+Matching-order heuristic (replacing the reference's vertex-cover matching
+orders, core/Graph.hh:1477-1605): start at the max-degree pattern vertex,
+then repeatedly add the vertex with the most already-matched neighbours
+(maximally-constrained next — each join is as selective as possible, so
+intermediate row counts stay small; ties by pattern degree then id).
+
+Match rows use columns ``v{p}`` (long) for each true pattern vertex p —
+the positional ``mapping`` of the reference's CompleteMatch
+(core/PatternMatching.hh:154-164).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from peregrine_spark.patterns.small_graph import SmallGraph
+from peregrine_spark.patterns.po import symmetry_conditions
+
+
+def _vcol(p: int) -> str:
+    return f"v{p}"
+
+
+@dataclass
+class MatchPlan:
+    """Compiled plan metadata (driver-side 'AnalyzedPattern' analogue)."""
+
+    pattern: SmallGraph
+    order: list[int]
+    conditions: list[tuple[int, int]]
+    df: DataFrame = field(repr=False)
+
+    @property
+    def match_columns(self) -> list[str]:
+        return [_vcol(p) for p in sorted(self.order)]
+
+
+def matching_order(pattern: SmallGraph) -> list[int]:
+    """Greedy maximally-constrained ordering over true-edge vertices.
+    Anti-vertices (anti-edges only) are excluded — they become anti-join
+    constraints, never enumerated."""
+    true_vs = [v for v in pattern.vertices if pattern.adj.get(v)]
+    if not true_vs:
+        raise ValueError("pattern has no true edges")
+    start = max(true_vs, key=lambda v: (len(pattern.adj[v]), -v))
+    order = [start]
+    remaining = set(true_vs) - {start}
+    while remaining:
+        def score(v):
+            matched_nbrs = len(pattern.adj[v] & set(order))
+            return (matched_nbrs, len(pattern.adj[v]), -v)
+
+        nxt = max(remaining, key=score)
+        if not pattern.adj[nxt] & set(order):
+            raise ValueError("pattern's true-edge graph is disconnected")
+        order.append(nxt)
+        remaining.remove(nxt)
+    return order
+
+
+def compile_match(
+    edges_sym: DataFrame,
+    pattern: SmallGraph,
+    vertices: DataFrame | None = None,
+    apply_symmetry: bool = True,
+) -> MatchPlan:
+    """Compile ``pattern`` into a DataFrame of unique matches.
+
+    edges_sym: symmetrized edge table (src, dst) — both directions.
+    vertices: (v, label) table, required for labelled patterns.
+    apply_symmetry=False enumerates all automorphic images (for debugging /
+    oracle cross-checks).
+    """
+    order = matching_order(pattern)
+    conds = symmetry_conditions(pattern) if apply_symmetry else []
+    cond_set = {(min(a, b), max(a, b)) for a, b in conds}
+    adj_pairs = set(pattern.true_edges())
+    labelling = pattern.labelling().value if pattern.labels else "unlabelled"
+
+    known_labels = sorted({l for l in pattern.labels.values() if l != -1})
+
+    def label_filter(df: DataFrame, p: int) -> DataFrame:
+        lab = pattern.labels.get(p)
+        if lab is None or vertices is None:
+            return df
+        vl = vertices.select(F.col("v").alias(_vcol(p)), F.col("label").alias(f"_l{p}"))
+        df = df.join(vl, _vcol(p))
+        if lab == -1:
+            df = df.where(~F.col(f"_l{p}").isin(known_labels) if known_labels else F.lit(True))
+        else:
+            df = df.where(F.col(f"_l{p}") == F.lit(lab))
+        return df.drop(f"_l{p}")
+
+    # seed: first pattern edge (order[0], order[1])
+    p0, p1 = order[0], order[1]
+    m = edges_sym.select(F.col("src").alias(_vcol(p0)), F.col("dst").alias(_vcol(p1)))
+    matched = [p0, p1]
+    # apply any conditions/labels valid on the seed
+    for (l, g) in conds:
+        if l in matched and g in matched:
+            m = m.where(F.col(_vcol(l)) < F.col(_vcol(g)))
+    m = label_filter(label_filter(m, p0), p1)
+
+    for pk in order[2:]:
+        nbrs = sorted(pattern.adj[pk] & set(matched))
+        lead, rest = nbrs[0], nbrs[1:]
+        e = edges_sym.select(
+            F.col("src").alias(_vcol(lead)), F.col("dst").alias(_vcol(pk))
+        )
+        m = m.join(e, _vcol(lead))
+        # extra adjacency constraints: semi-joins against the edge table
+        for nb in rest:
+            e2 = edges_sym.select(
+                F.col("src").alias(_vcol(nb)), F.col("dst").alias(_vcol(pk))
+            )
+            m = m.join(e2, [_vcol(nb), _vcol(pk)], "left_semi")
+        # symmetry conditions that became applicable
+        for (l, g) in conds:
+            if (l == pk and g in matched) or (g == pk and l in matched):
+                m = m.where(F.col(_vcol(l)) < F.col(_vcol(g)))
+        # injectivity for non-adjacent, non-ordered matched pairs
+        for q in matched:
+            pair = (min(q, pk), max(q, pk))
+            if pair not in adj_pairs and pair not in cond_set:
+                m = m.where(F.col(_vcol(q)) != F.col(_vcol(pk)))
+        m = label_filter(m, pk)
+        matched.append(pk)
+
+    # anti-edges between true vertices → anti-join against the edge table
+    for (a, b) in pattern.anti_edge_list():
+        if a in matched and b in matched:
+            e = edges_sym.select(
+                F.col("src").alias(_vcol(a)), F.col("dst").alias(_vcol(b))
+            )
+            m = m.join(e, [_vcol(a), _vcol(b)], "left_anti")
+
+    # anti-vertices: no data vertex outside the match adjacent to ALL
+    # anti-parents (core/PatternMatching.hh:380-488 semantics)
+    for av in pattern.anti_vertices():
+        parents = sorted(pattern.anti_adj[av] & set(matched))
+        if not parents:
+            continue
+        x = "_x"
+        viol = m
+        lead, rest = parents[0], parents[1:]
+        e = edges_sym.select(F.col("src").alias(_vcol(lead)), F.col("dst").alias(x))
+        viol = viol.join(e, _vcol(lead))
+        for nb in rest:
+            e2 = edges_sym.select(F.col("src").alias(_vcol(nb)), F.col("dst").alias(x))
+            viol = viol.join(e2, [_vcol(nb), x], "left_semi")
+        for q in matched:
+            viol = viol.where(F.col(x) != F.col(_vcol(q)))
+        lab = pattern.labels.get(av)
+        if lab is not None and lab != -1 and vertices is not None:
+            vl = vertices.select(F.col("v").alias(x), F.col("label").alias("_xl"))
+            viol = viol.join(vl, x).where(F.col("_xl") == F.lit(lab)).drop("_xl")
+        mcols = [_vcol(p) for p in matched]
+        m = m.join(viol.select(*mcols).distinct(), mcols, "left_anti")
+
+    cols = [_vcol(p) for p in sorted(matched)]
+    return MatchPlan(pattern=pattern, order=order, conditions=conds, df=m.select(*cols))

@@ -1,0 +1,92 @@
+"""Ingest invariants — parity with core/DataConverter.cc semantics."""
+
+from pyspark.sql import functions as F
+
+from peregrine_spark.graph import build_graph, canonical_edges, symmetrized
+from peregrine_spark.tables import source_repo_table, with_sha256
+
+from tests.conftest import edges_df
+
+N_FILES = 300
+
+
+def _graph(spark):
+    src = source_repo_table(spark, n_files=N_FILES)
+    return src, build_graph(src)
+
+
+def test_canonicalization(spark):
+    e = canonical_edges(edges_df(spark, [(2, 1), (1, 2), (3, 3), (1, 3)]))
+    rows = {tuple(r) for r in e.collect()}
+    assert rows == {(1, 2), (1, 3)}  # deduped, loop dropped, src<dst
+    assert {tuple(r) for r in symmetrized(e).collect()} == {
+        (1, 2), (2, 1), (1, 3), (3, 1)
+    }
+
+
+def test_vertex_ids_degree_descending(spark):
+    _, g = _graph(spark)
+    vs = g.vertices.orderBy("v").collect()
+    # 1-based contiguous
+    assert [r["v"] for r in vs] == list(range(1, len(vs) + 1))
+    # degree non-increasing
+    degs = [r["degree"] for r in vs]
+    assert degs == sorted(degs, reverse=True)
+    # no degree-0 vertices
+    assert degs[-1] >= 1
+
+
+def test_edges_reference_vertices_and_are_canonical(spark):
+    _, g = _graph(spark)
+    n = g.vertices.count()
+    bad = g.edges.where(
+        (F.col("src") >= F.col("dst"))
+        | (F.col("src") < 1)
+        | (F.col("dst") > n)
+    ).count()
+    assert bad == 0
+    assert g.edges.count() == g.edges.dropDuplicates(["src", "dst"]).count()
+    # degree consistency: groupBy over symmetrized edges == stored degree
+    deg = symmetrized(g.edges).groupBy(F.col("src").alias("v")).count()
+    mismatched = (
+        g.vertices.join(deg, "v", "left")
+        .where(F.col("degree") != F.col("count"))
+        .count()
+    )
+    assert mismatched == 0
+
+
+def test_build_deterministic(spark):
+    src1, g1 = _graph(spark)
+    src2, g2 = _graph(spark)
+    assert g1.vertices.exceptAll(g2.vertices).count() == 0
+    assert g1.edges.exceptAll(g2.edges).count() == 0
+
+
+def test_sha256_invariant_preserved(spark):
+    """input_hint per-row invariant: content sha256 survives the engine's
+    projections/joins untouched."""
+    src = with_sha256(source_repo_table(spark, n_files=100))
+    before = src.select("repo", "path", "commit", "content_sha256")
+    # a representative engine-side reshuffle: repartition + join back
+    after = (
+        src.repartition(8, "repo")
+        .withColumn("sha2_again", F.sha2(F.col("content"), 256))
+    )
+    assert after.where(F.col("sha2_again") != F.col("content_sha256")).count() == 0
+    assert before.count() == after.count()
+
+
+def test_import_edges_have_real_targets(spark):
+    src, g = _graph(spark)
+    # every vertex key exists as a generated (repo:path)
+    keys = src.select(F.concat_ws(":", "repo", "path").alias("key")).distinct()
+    orphans = g.vertices.join(keys, "key", "left_anti").count()
+    assert orphans == 0
+
+
+def test_labels_dictionary(spark):
+    _, g = _graph(spark)
+    labs = {r["lang"] for r in g.labels.collect()}
+    assert labs <= {"py", "cpp", "js", "go", "rs", "java"}
+    assert g.vertices.where(F.col("label").isNull()).count() == 0

@@ -1,0 +1,143 @@
+"""Matcher correctness vs brute-force oracle + closed forms.
+
+Mirrors core/unittests/PatternMatching_test.hh (exact counts of named small
+patterns on tiny graphs) and core/integrationtests/Counting_test.hh (motif
+vectors vs golden truth) — truth here comes from exhaustive enumeration.
+"""
+
+import itertools
+import math
+
+import pytest
+
+from peregrine_spark.operators.match import count, count_motifs, existence, match
+from peregrine_spark.operators.triangles import triangle_count, triangle_count_per_vertex
+from peregrine_spark.patterns import PatternGenerator, SmallGraph
+from peregrine_spark.patterns.canonical import canonical_form
+
+from tests.conftest import edges_df
+from tests.oracle import brute_count, brute_induced_counts, er_graph
+
+
+def K(n):
+    return list(itertools.combinations(range(1, n + 1), 2))
+
+
+def test_triangle_count_closed_forms(spark):
+    assert triangle_count(edges_df(spark, K(6))).collect()[0][0] == math.comb(6, 3)
+    ring = [(i, i % 8 + 1) for i in range(1, 9)]
+    assert triangle_count(edges_df(spark, ring)).collect()[0][0] == 0
+    star = [(1, i) for i in range(2, 9)]
+    assert triangle_count(edges_df(spark, star)).collect()[0][0] == 0
+
+
+def test_triangle_count_er_oracle(spark):
+    pairs = er_graph(24, 0.3, seed=7)
+    expected = brute_count(pairs, PatternGenerator.clique(3))
+    got = triangle_count(edges_df(spark, pairs)).collect()[0][0]
+    assert got == expected
+    per_v = dict(triangle_count_per_vertex(edges_df(spark, pairs)).collect())
+    assert sum(per_v.values()) == 3 * expected
+
+
+def test_clique_counts_closed_form(spark):
+    e = edges_df(spark, K(7))
+    for k in (3, 4, 5):
+        [(_, c)] = count(e, PatternGenerator.clique(k))
+        assert c == math.comb(7, k), k
+
+
+def test_star_and_chain_oracle(spark):
+    pairs = er_graph(20, 0.25, seed=11)
+    e = edges_df(spark, pairs)
+    for pat in [
+        PatternGenerator.star(4),
+        PatternGenerator.chain(3),
+        PatternGenerator.chain(4),
+        PatternGenerator.cycle(4),
+        PatternGenerator.cycle(5),
+    ]:
+        [(_, c)] = count(e, pat)
+        assert c == brute_count(pairs, pat), pat.to_string()
+
+
+def test_every_4_pattern_edge_induced_oracle(spark):
+    pairs = er_graph(16, 0.35, seed=3)
+    e = edges_df(spark, pairs)
+    for pat in PatternGenerator.all(4, vertex_based=False):
+        [(_, c)] = count(e, pat)
+        assert c == brute_count(pairs, pat), pat.to_string()
+
+
+def test_p1_reference_pattern_oracle(spark):
+    p1 = SmallGraph.from_file("/root/reference/query/p1.graph")
+    pairs = er_graph(18, 0.3, seed=5)
+    [(_, c)] = count(edges_df(spark, pairs), p1)
+    assert c == brute_count(pairs, p1)
+
+
+def test_anti_edge_pattern_oracle(spark):
+    # wedge with anti-edge closing it = "open wedge" (induced path of 3)
+    wedge_open = SmallGraph(edges=[(1, 2), (2, 3)], anti_edges=[(1, 3)])
+    pairs = er_graph(18, 0.3, seed=13)
+    [(_, c)] = count(edges_df(spark, pairs), wedge_open)
+    assert c == brute_count(pairs, wedge_open)
+    # 4-cycle with one anti-diagonal
+    cy4_anti = SmallGraph(edges=[(1, 2), (2, 3), (3, 4), (4, 1)], anti_edges=[(1, 3)])
+    [(_, c)] = count(edges_df(spark, pairs), cy4_anti)
+    assert c == brute_count(pairs, cy4_anti)
+
+
+def test_anti_vertex_oracle(spark):
+    # edge with an anti-vertex adjacent to both ends: "edge with no common neighbour"
+    pat = SmallGraph(edges=[(1, 2)], anti_edges=[(1, 3), (2, 3)])
+    pairs = er_graph(16, 0.3, seed=17)
+    [(_, c)] = count(edges_df(spark, pairs), pat)
+    assert c == brute_count(pairs, pat)
+
+
+def test_motif_counts_vertex_induced(spark):
+    pairs = er_graph(15, 0.35, seed=23)
+    e = edges_df(spark, pairs)
+    def strip_cf(p):
+        return canonical_form(SmallGraph(edges=p.true_edges()))
+
+    got = {strip_cf(p): c for p, c in count_motifs(e, 3)}
+    truth = brute_induced_counts(pairs, 3)
+    for cf, c in got.items():
+        assert c == truth.get(cf, 0)
+    got4 = {strip_cf(p): c for p, c in count_motifs(e, 4)}
+    truth4 = brute_induced_counts(pairs, 4)
+    for cf, c in got4.items():
+        assert c == truth4.get(cf, 0), cf
+
+
+def test_labelled_pattern_oracle(spark):
+    pairs = er_graph(16, 0.35, seed=29)
+    labels = {v: (v % 3) + 1 for v in range(1, 17)}
+    vdf = spark.createDataFrame(
+        [(v, l) for v, l in labels.items()], "v long, label long"
+    )
+    pat = SmallGraph(edges=[(1, 2), (2, 3)], labels={1: 1, 2: 2, 3: 1})
+    [(_, c)] = count(edges_df(spark, pairs), pat, vertices=vdf)
+    assert c == brute_count(pairs, pat, labels=labels)
+    # wildcard label: must be a label not among the pattern's known ones
+    pat_w = SmallGraph(edges=[(1, 2), (2, 3)], labels={1: 1, 2: 2, 3: -1})
+    [(_, c)] = count(edges_df(spark, pairs), pat_w, vertices=vdf)
+    assert c == brute_count(pairs, pat_w, labels=labels)
+
+
+def test_existence_early_stop(spark):
+    e = edges_df(spark, K(6))
+    assert existence(e, PatternGenerator.clique(4))
+    assert not existence(e, PatternGenerator.clique(7))  # 14-clique analogue
+
+
+def test_match_columns(spark):
+    e = edges_df(spark, K(4))
+    m = match(e, PatternGenerator.clique(3))
+    assert m.columns == ["v1", "v2", "v3"]
+    rows = {tuple(r) for r in m.collect()}
+    assert len(rows) == 4  # C(4,3)
+    for a, b, c in rows:
+        assert a < b < c
