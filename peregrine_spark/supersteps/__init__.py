@@ -1,0 +1,13 @@
+from peregrine_spark.supersteps.engine import SuperstepEngine, SuperstepResult
+from peregrine_spark.supersteps.pagerank import pagerank, pagerank_csr
+from peregrine_spark.supersteps.components import connected_components
+from peregrine_spark.supersteps.labelprop import label_propagation
+
+__all__ = [
+    "SuperstepEngine",
+    "SuperstepResult",
+    "pagerank",
+    "pagerank_csr",
+    "connected_components",
+    "label_propagation",
+]

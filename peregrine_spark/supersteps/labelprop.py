@@ -1,0 +1,69 @@
+"""Label propagation (community detection) supersteps.
+
+Synchronous LP: label_0(v) = v (or a seed column); label_{i+1}(v) = the
+most frequent label among N(v), ties broken by SMALLEST label (deterministic
+— required for exact oracle comparison and resume-replay idempotence).
+Runs a fixed number of supersteps or until no label changes.
+
+Physical plan per superstep: edges_sym ⋈ state on src (AQE skew-split) →
+groupBy(dst, label).count (map-side partial) → per-dst argmax via a window
+ordered (count desc, label asc). The window partitions by dst — same key as
+the preceding shuffle, so Catalyst reuses the partitioning (no extra
+shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from peregrine_spark.graph.build import symmetrized
+from peregrine_spark.supersteps.engine import SuperstepEngine, SuperstepResult
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame | None = None,
+    max_iters: int = 10,
+    engine: SuperstepEngine | None = None,
+    resume: bool = False,
+) -> SuperstepResult:
+    """State: (v, label). ``seeds`` optional (v, label) initial assignment;
+    default label_0(v) = v."""
+    spark = edges.sparkSession
+    sym = symmetrized(edges)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = sym.repartition(n_part, "src").persist()
+    vs = sym.select(F.col("src").alias("v")).distinct()
+    if seeds is None:
+        state0 = vs.select("v", F.col("v").alias("label"))
+    else:
+        state0 = vs.join(seeds, "v", "left").select(
+            "v", F.coalesce("label", F.col("v")).alias("label")
+        )
+    engine = engine or SuperstepEngine(spark)
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, float]:
+        freq = (
+            sym.join(state, sym["src"] == state["v"])
+            .groupBy(F.col("dst").alias("v2"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("v2").orderBy(F.col("cnt").desc(), F.col("label").asc())
+        best = (
+            freq.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("v2", F.col("label").alias("new_label"))
+        )
+        new = (
+            state.withColumnRenamed("label", "old")
+            .join(best, state["v"] == F.col("v2"), "left")
+            .select("v", F.coalesce("new_label", F.col("old")).alias("label"), "old")
+        )
+        new.persist()
+        changed = new.where(F.col("label") != F.col("old")).count()
+        return new.select("v", "label"), float(changed)
+
+    res = engine.run(state0, step, max_iters=max_iters, tol=0.0, resume=resume)
+    sym.unpersist()
+    return res

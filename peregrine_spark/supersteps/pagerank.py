@@ -1,0 +1,191 @@
+"""PageRank over the undirected edge table — two physical strategies.
+
+Link-graph tier (north rule; not in the reference, whose iteration analogue
+is the per-pattern barrier loop, core/Peregrine.hh:1320-1424).
+
+Semantics: damping d (default 0.85), uniform init 1/n over the degree>0
+vertices, rank_{i+1}(v) = (1-d)/n + d * Σ_{u∈N(v)} rank_i(u)/deg(u).
+Undirected (symmetrized) edges ⇒ no dangling vertices. Convergence: L1
+delta ≤ tol. Matches a NumPy/pure-Python oracle to ≤1e-6 (tests).
+
+Strategy A — ``pagerank`` (pure Catalyst): contribution = ranks ⋈ edges_sym
+on src (shuffle hash join, AQE skew-split), groupBy(dst).sum (map-side
+partial agg absorbs hub fan-in). Simple, whole-stage-codegen'd.
+
+Strategy B — ``pagerank_csr`` (the north-star physical plan): adjacency is
+materialized once as *chunked CSR blocks* — (src, chunk, nbrs array<long>)
+with every chunk ≤ chunk_size neighbours. Chunking IS the hub salting: a
+10^9-degree hub becomes many bounded rows, so the per-superstep join on src
+is never skewed and no Arrow batch blows up. The superstep joins ranks to
+the blocks (1:few equi-join) and a vectorized mapInPandas kernel does the
+gather-scatter: np.repeat shares over the flattened neighbour arrays, then
+np.unique+np.bincount pre-aggregates *within the batch* (map-side combine)
+before the final groupBy(dst).sum shuffle. No per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from peregrine_spark.graph.build import symmetrized
+from peregrine_spark.supersteps.engine import SuperstepEngine, SuperstepResult
+
+
+def _degrees(edges_sym: DataFrame) -> DataFrame:
+    return edges_sym.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+
+
+def _init_state(deg: DataFrame) -> tuple[DataFrame, int]:
+    n = deg.count()
+    return (
+        deg.select("v", "deg", (F.lit(1.0) / F.lit(float(n))).alias("rank")),
+        n,
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iters: int = 20,
+    tol: float = 1e-6,
+    engine: SuperstepEngine | None = None,
+    resume: bool = False,
+) -> SuperstepResult:
+    """Strategy A: pure-DataFrame supersteps. ``edges`` is canonical
+    (src<dst); state schema (v, deg, rank)."""
+    spark = edges.sparkSession
+    sym = symmetrized(edges)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = sym.repartition(n_part, "src").persist()
+    deg = _degrees(sym)
+    state0, n = _init_state(deg)
+    engine = engine or SuperstepEngine(spark)
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, float]:
+        contrib = (
+            sym.join(state, sym["src"] == state["v"])
+            .select(F.col("dst").alias("v"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        new = (
+            state.select("v", "deg", F.col("rank").alias("old"))
+            .join(contrib, "v", "left")
+            .select(
+                "v",
+                "deg",
+                (
+                    F.lit((1 - damping) / n)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+                "old",
+            )
+        )
+        new.persist()
+        delta = new.agg(F.sum(F.abs(F.col("rank") - F.col("old")))).collect()[0][0]
+        out = new.select("v", "deg", "rank")
+        return out, float(delta or 0.0)
+
+    res = engine.run(state0, step, max_iters=max_iters, tol=tol, resume=resume)
+    res.state = res.state.select("v", "rank", "deg")
+    sym.unpersist()
+    return res
+
+
+def build_adjacency_blocks(
+    edges_sym: DataFrame, chunk_size: int = 1 << 16
+) -> DataFrame:
+    """Chunked CSR blocks: (src, chunk, deg, nbrs sorted array<long>).
+
+    Neighbour lists are split into ~chunk_size pieces BEFORE collect_list so
+    no single task ever materializes a hub's full adjacency (explicit skew
+    salting; the reference's analogue is work-stealing hub ranges,
+    core/RangeQueue.hh:598-675). ``nbrs`` is sorted ascending within each
+    chunk — the CSR sortedness invariant (core/DataConverter.cc:349-359)
+    that keeps np.searchsorted/intersection kernels valid.
+    """
+    deg = _degrees(edges_sym)
+    with_deg = edges_sym.join(deg, edges_sym["src"] == deg["v"]).drop("v")
+    chunked = with_deg.withColumn(
+        "chunk",
+        F.pmod(F.xxhash64("dst"), (F.col("deg") / chunk_size + 1).cast("long")),
+    )
+    return chunked.groupBy("src", "chunk").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs"),
+        F.first("deg").alias("deg"),
+    )
+
+
+def pagerank_csr(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iters: int = 20,
+    tol: float = 1e-6,
+    chunk_size: int = 1 << 16,
+    engine: SuperstepEngine | None = None,
+    resume: bool = False,
+) -> SuperstepResult:
+    """Strategy B: chunked-CSR Arrow kernel supersteps."""
+    spark = edges.sparkSession
+    sym = symmetrized(edges)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    blocks = (
+        build_adjacency_blocks(sym, chunk_size)
+        .repartition(n_part, "src")
+        .persist()
+    )
+    deg = blocks.groupBy(F.col("src").alias("v")).agg(F.sum(F.size("nbrs")).alias("deg"))
+    state0, n = _init_state(deg)
+    engine = engine or SuperstepEngine(spark)
+
+    def gather_scatter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            nbr_arrays = pdf["nbrs"].to_numpy()
+            counts = np.fromiter((len(a) for a in nbr_arrays), dtype=np.int64)
+            flat_dst = np.concatenate(nbr_arrays) if len(nbr_arrays) else np.array([], dtype=np.int64)
+            shares = np.repeat(
+                (pdf["rank"].to_numpy() / pdf["deg"].to_numpy()), counts
+            )
+            uniq, inv = np.unique(flat_dst, return_inverse=True)
+            partial = np.bincount(inv, weights=shares, minlength=len(uniq))
+            yield pd.DataFrame({"v": uniq.astype(np.int64), "inflow": partial})
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, float]:
+        joined = blocks.join(state, blocks["src"] == state["v"]).select(
+            "nbrs", "rank", state["deg"].alias("deg")
+        )
+        contrib = (
+            joined.mapInPandas(gather_scatter, schema="v long, inflow double")
+            .groupBy("v")
+            .agg(F.sum("inflow").alias("inflow"))
+        )
+        new = (
+            state.select("v", "deg", F.col("rank").alias("old"))
+            .join(contrib, "v", "left")
+            .select(
+                "v",
+                "deg",
+                (
+                    F.lit((1 - damping) / n)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+                "old",
+            )
+        )
+        new.persist()
+        delta = new.agg(F.sum(F.abs(F.col("rank") - F.col("old")))).collect()[0][0]
+        return new.select("v", "deg", "rank"), float(delta or 0.0)
+
+    res = engine.run(state0, step, max_iters=max_iters, tol=tol, resume=resume)
+    res.state = res.state.select("v", "rank", "deg")
+    blocks.unpersist()
+    return res

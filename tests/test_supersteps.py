@@ -1,0 +1,150 @@
+"""Superstep engine: PageRank/CC/LP vs pure-Python oracles + resume."""
+
+import itertools
+import json
+
+import pytest
+
+from peregrine_spark.supersteps import (
+    SuperstepEngine,
+    connected_components,
+    label_propagation,
+    pagerank,
+    pagerank_csr,
+)
+
+from tests.conftest import edges_df
+from tests.oracle import brute_components, brute_pagerank, er_graph
+
+
+def two_cliques_bridge():
+    k5 = list(itertools.combinations(range(1, 6), 2))
+    k4 = list(itertools.combinations(range(10, 14), 2))
+    return k5 + k4 + [(5, 10)], k5 + k4  # with and without bridge
+
+
+def test_pagerank_matches_oracle(spark):
+    pairs = er_graph(40, 0.15, seed=31)
+    e = edges_df(spark, pairs)
+    res = pagerank(e, max_iters=15, tol=0.0)
+    got = {r["v"]: r["rank"] for r in res.state.collect()}
+    truth = brute_pagerank(pairs, iters=15)
+    assert set(got) == set(truth)
+    for v in truth:
+        assert abs(got[v] - truth[v]) < 1e-6, v
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_csr_equals_dataframe_strategy(spark):
+    pairs = er_graph(35, 0.2, seed=37)
+    e = edges_df(spark, pairs)
+    a = pagerank(e, max_iters=8, tol=0.0)
+    b = pagerank_csr(e, max_iters=8, tol=0.0, chunk_size=4)  # force multi-chunk
+    ga = {r["v"]: r["rank"] for r in a.state.collect()}
+    gb = {r["v"]: r["rank"] for r in b.state.collect()}
+    assert set(ga) == set(gb)
+    for v in ga:
+        assert abs(ga[v] - gb[v]) < 1e-9, v
+
+
+def test_pagerank_uniform_on_regular_graphs(spark):
+    ring = [(i, i % 10 + 1) for i in range(1, 11)]
+    res = pagerank(edges_df(spark, ring), max_iters=10, tol=1e-12)
+    ranks = [r["rank"] for r in res.state.collect()]
+    assert all(abs(x - 0.1) < 1e-9 for x in ranks)
+
+
+def test_connected_components_exact(spark):
+    bridged, unbridged = two_cliques_bridge()
+    res = connected_components(edges_df(spark, unbridged))
+    got = dict((r["v"], r["comp"]) for r in res.state.collect())
+    assert got == brute_components(unbridged)
+    assert len(set(got.values())) == 2
+    res2 = connected_components(edges_df(spark, bridged))
+    got2 = dict((r["v"], r["comp"]) for r in res2.state.collect())
+    assert got2 == brute_components(bridged)
+    assert len(set(got2.values())) == 1
+    assert res2.converged
+
+
+def test_connected_components_er(spark):
+    pairs = er_graph(50, 0.05, seed=41)
+    got = dict(
+        (r["v"], r["comp"])
+        for r in connected_components(edges_df(spark, pairs)).state.collect()
+    )
+    assert got == brute_components(pairs)
+
+
+def brute_lp(pairs, iters):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {v: v for v in adj}
+    for _ in range(iters):
+        new = {}
+        for v in adj:
+            counts = {}
+            for u in adj[v]:
+                counts[lab[u]] = counts.get(lab[u], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        if new == lab:
+            break
+        lab = new
+    return lab
+
+
+def test_label_propagation_matches_oracle(spark):
+    pairs, _ = two_cliques_bridge()
+    res = label_propagation(edges_df(spark, pairs), max_iters=4)
+    got = dict((r["v"], r["label"]) for r in res.state.collect())
+    truth = brute_lp(pairs, res.iterations)
+    assert got == truth
+
+
+def test_checkpoint_resume_equivalence(spark, tmp_path):
+    pairs = er_graph(30, 0.15, seed=43)
+    e = edges_df(spark, pairs)
+    full = pagerank(
+        e,
+        max_iters=10,
+        tol=0.0,
+        engine=SuperstepEngine(spark, str(tmp_path / "full"), run_id="pr"),
+    )
+    # partial run: 4 supersteps, then resume to 10
+    eng = SuperstepEngine(spark, str(tmp_path / "part"), run_id="pr")
+    pagerank(e, max_iters=4, tol=0.0, engine=eng)
+    resumed = pagerank(e, max_iters=10, tol=0.0, engine=eng, resume=True)
+    gf = {r["v"]: r["rank"] for r in full.state.collect()}
+    gr = {r["v"]: r["rank"] for r in resumed.state.collect()}
+    for v in gf:
+        assert abs(gf[v] - gr[v]) < 1e-12
+
+    # lineage + metrics recorded per superstep
+    lines = [
+        json.loads(l)
+        for l in (tmp_path / "part" / "pr" / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert [m["iteration"] for m in lines] == list(range(10))
+    for m in lines:
+        assert m["partitions"] and all(
+            "checksum" in p and p["rows"] > 0 for p in m["partitions"]
+        )
+    # resume skipped the first 4 completed supersteps
+    steps = sorted(p.name for p in (tmp_path / "part" / "pr").glob("step=*"))
+    assert len(steps) == 10
+
+
+def test_resume_after_convergence_is_noop(spark, tmp_path):
+    pairs, _ = two_cliques_bridge()
+    e = edges_df(spark, pairs)
+    eng = SuperstepEngine(spark, str(tmp_path), run_id="cc")
+    r1 = connected_components(e, engine=eng)
+    assert r1.converged
+    r2 = connected_components(e, engine=eng, resume=True)
+    assert r2.converged
+    assert {tuple(r) for r in r1.state.collect()} == {
+        tuple(r) for r in r2.state.collect()
+    }
