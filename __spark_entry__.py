@@ -1,10 +1,27 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Query surface here = SURVEY.md §2 operator inventory re-expressed over the
+driver's testdata tables:
+
+* the link graph is derived from ``lineitem`` — consecutive parts within an
+  order become chain edges (the same capped-fan-out derivation the engine
+  uses for co-commit edges on the source-repo table, graph/from_tables.py);
+* pattern queries (triangle / wedge / clique / cycle / motifs / MNI /
+  existence) run through the pattern→join compiler on that graph;
+* vertex programs (PageRank / connected components / label propagation) run
+  through the superstep engine; oracles are unrolled/recursive SQL;
+* the training-data-pipeline tier (dedup / similarity / text analysis /
+  multimodal plumbing) runs over ``documents`` and ``embeddings``.
+
+Entries without an ``oracle_sql`` (MinHash-LSH, SimHash, LSH-ANN,
+CSR-kernel PageRank duplicates aside) are sketch-based: their *verified*
+semantics are pytest-checked against the exact operators instead
+(tests/test_dedup.py, tests/test_ann.py).
 """
 
 from __future__ import annotations
@@ -12,27 +29,537 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from peregrine_spark.graph.from_tables import chain_edges, degrees, relabel_by_degree
+from peregrine_spark.multimodal.assets import (
+    attach_payload,
+    extract_features,
+    frame_sample_plan,
+)
+from peregrine_spark.operators.fsm import mni_support
+from peregrine_spark.operators.match import count_motifs, existence
+from peregrine_spark.operators.triangles import triangle_count
+from peregrine_spark.patterns.small_graph import PatternGenerator
+from peregrine_spark.plans.compiler import compile_match
+from peregrine_spark.graph.build import symmetrized
+from peregrine_spark.similarity.ann import cosine_topk, cosine_topk_lsh
+from peregrine_spark.supersteps.components import connected_components
+from peregrine_spark.supersteps.labelprop import label_propagation
+from peregrine_spark.supersteps.pagerank import pagerank, pagerank_csr
+from peregrine_spark.text.analysis import (
+    STOPWORDS,
+    LANG_MARKERS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats_by,
+)
+from peregrine_spark.text.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+
+# ---------------------------------------------------------------------------
+# shared inputs
+# ---------------------------------------------------------------------------
+
+CC_FILTER = "l_quantity <= 3"  # sparser subgraph -> many components
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _edges(spark: SparkSession, sf_dir: str, filt: str | None = None) -> DataFrame:
+    li = _lineitem(spark, sf_dir)
+    if filt:
+        li = li.where(filt)
+    return chain_edges(li, "l_orderkey", "l_partkey", ["l_linenumber"])
+
+
+def _one_row(spark: SparkSession, value, name: str, typ: str) -> DataFrame:
+    return spark.createDataFrame([(value,)], f"{name} {typ}")
+
+
+# SQL fragments mirrored by the Spark derivations above ----------------------
+
+def _e_sql(filt: str | None = None) -> str:
+    where = f" WHERE {filt}" if filt else ""
+    return f"""SELECT DISTINCT least(p, pp) AS src, greatest(p, pp) AS dst FROM (
+  SELECT l_partkey AS p,
+         lag(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_partkey, l_linenumber) AS pp
+  FROM lineitem{where}
+) WHERE pp IS NOT NULL AND p <> pp"""
+
+
+SYM_SQL = "SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e"
+
+# degree-descending rank relabel + low-degree->high-degree orientation — the
+# oracle mirror of relabel_by_degree + triangles._oriented
+ORIENT_SQL = """
+deg AS (SELECT src AS v, count(*) AS degree FROM sym GROUP BY 1),
+rnk AS (SELECT v, row_number() OVER (ORDER BY degree DESC, v) AS r FROM deg),
+o AS MATERIALIZED (
+  SELECT greatest(ra.r, rb.r) AS src, least(ra.r, rb.r) AS dst
+  FROM e JOIN rnk ra ON ra.v = e.src JOIN rnk rb ON rb.v = e.dst)"""
+
+TOKS_SQL = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
+    parts = [
+        f"WITH e AS ({_e_sql()})",
+        f"sym AS ({SYM_SQL})",
+        "deg AS (SELECT src AS v, count(*) AS deg FROM sym GROUP BY 1)",
+        "n AS (SELECT count(*) AS n FROM deg)",
+        "r0 AS (SELECT v, deg, CAST(1 AS DOUBLE) / n.n AS rank FROM deg, n)",
+    ]
+    d = "CAST(0.85 AS DOUBLE)"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"c{i} AS (SELECT sym.dst AS v, sum(r{i-1}.rank / r{i-1}.deg) AS inflow "
+            f"FROM sym JOIN r{i-1} ON sym.src = r{i-1}.v GROUP BY 1)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT r{i-1}.v, r{i-1}.deg, "
+            f"(1 - {d}) / n.n + {d} * coalesce(c{i}.inflow, 0) AS rank "
+            f"FROM r{i-1} LEFT JOIN c{i} ON r{i-1}.v = c{i}.v, n)"
+        )
+    return ",\n".join(parts) + f"\nSELECT v, round(rank, 6) AS rank FROM r{iters}"
+
+
+def _labelprop_sql(iters: int, filt: str) -> str:
+    parts = [
+        f"WITH e AS ({_e_sql(filt)})",
+        f"sym AS ({SYM_SQL})",
+        "verts AS (SELECT DISTINCT src AS v FROM sym)",
+        "s0 AS (SELECT v, v AS label FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"f{i} AS (SELECT sym.dst AS v, s{i-1}.label, count(*) AS c "
+            f"FROM sym JOIN s{i-1} ON sym.src = s{i-1}.v GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"b{i} AS (SELECT v, label FROM (SELECT v, label, "
+            f"row_number() OVER (PARTITION BY v ORDER BY c DESC, label ASC) AS rn "
+            f"FROM f{i}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"s{i} AS (SELECT verts.v, coalesce(b{i}.label, verts.v) AS label "
+            f"FROM verts LEFT JOIN b{i} ON verts.v = b{i}.v)"
+        )
+    return ",\n".join(parts) + f"\nSELECT v, label FROM s{iters}"
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: exact triangle count of the lineitem link graph at
+    sf0.001, via degree-relabelled ids + degree-oriented two-join plan."""
+    edges = _edges(spark, "/root/testdata/sf0.001")
+    rel, _ = relabel_by_degree(edges)
+    return triangle_count(rel)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- pattern matching tier ---------------------------------------------
+    def q_triangle(spark, sf_dir):
+        rel, _ = relabel_by_degree(_edges(spark, sf_dir))
+        return triangle_count(rel).select(F.col("triangles").cast("long").alias("triangles"))
+
+    q["triangle_count"] = q_triangle
+
+    def q_wedge(spark, sf_dir):
+        rel, _ = relabel_by_degree(_edges(spark, sf_dir))
+        m = compile_match(symmetrized(rel), PatternGenerator.star(3)).df
+        return m.agg(F.count(F.lit(1)).cast("long").alias("wedges"))
+
+    q["wedge_count"] = q_wedge
+
+    def q_4clique(spark, sf_dir):
+        rel, _ = relabel_by_degree(_edges(spark, sf_dir))
+        m = compile_match(symmetrized(rel), PatternGenerator.clique(4)).df
+        return m.agg(F.count(F.lit(1)).cast("long").alias("four_cliques"))
+
+    q["four_clique_count"] = q_4clique
+
+    def q_4cycle(spark, sf_dir):
+        rel, _ = relabel_by_degree(_edges(spark, sf_dir))
+        m = compile_match(symmetrized(rel), PatternGenerator.cycle(4)).df
+        return m.agg(F.count(F.lit(1)).cast("long").alias("four_cycles"))
+
+    q["four_cycle_count"] = q_4cycle
+
+    def q_motif3(spark, sf_dir):
+        rel, _ = relabel_by_degree(_edges(spark, sf_dir))
+        res = count_motifs(rel, 3, vertex_induced=True)
+        rows = sorted(
+            (int(p.num_true_edges), int(c)) for p, c in res
+        )
+        return spark.createDataFrame(rows, "pattern_edges long, cnt long")
+
+    q["motif3_vertex_induced"] = q_motif3
+
+    def q_5clique_exists(spark, sf_dir):
+        rel, _ = relabel_by_degree(_edges(spark, sf_dir))
+        return _one_row(
+            spark, existence(rel, PatternGenerator.clique(5)), "found", "boolean"
+        )
+
+    q["five_clique_existence"] = q_5clique_exists
+
+    def q_mni_wedge(spark, sf_dir):
+        rel, _ = relabel_by_degree(_edges(spark, sf_dir))
+        m = compile_match(symmetrized(rel), PatternGenerator.star(3)).df
+        s = mni_support(m, PatternGenerator.star(3))
+        return _one_row(spark, s, "support", "long")
+
+    q["mni_support_wedge"] = q_mni_wedge
+
+    # -- degree / ingest tier ----------------------------------------------
+    def q_deg_hist(spark, sf_dir):
+        return (
+            degrees(_edges(spark, sf_dir))
+            .groupBy("degree")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+        )
+
+    q["degree_histogram"] = q_deg_hist
+
+    def q_top_degree(spark, sf_dir):
+        rel, mapping = relabel_by_degree(_edges(spark, sf_dir))
+        return (
+            mapping.where(F.col("v") <= 20)
+            .select(
+                F.col("v").alias("rank"),
+                F.col("old").alias("part"),
+                F.col("degree").cast("long").alias("degree"),
+            )
+        )
+
+    q["top_degree_vertices"] = q_top_degree
+
+    # -- vertex-program tier ------------------------------------------------
+    def q_pagerank(spark, sf_dir):
+        res = pagerank(_edges(spark, sf_dir), max_iters=3, tol=-1.0)
+        return res.state.select("v", F.round("rank", 6).alias("rank"))
+
+    q["pagerank3"] = q_pagerank
+
+    def q_pagerank_csr(spark, sf_dir):
+        res = pagerank_csr(_edges(spark, sf_dir), max_iters=3, tol=-1.0)
+        return res.state.select("v", F.round("rank", 6).alias("rank"))
+
+    q["pagerank3_csr"] = q_pagerank_csr
+
+    def q_cc(spark, sf_dir):
+        res = connected_components(_edges(spark, sf_dir, CC_FILTER), max_iters=64)
+        return res.state.select("v", "comp")
+
+    q["connected_components"] = q_cc
+
+    def q_lp(spark, sf_dir):
+        res = label_propagation(_edges(spark, sf_dir, CC_FILTER), max_iters=2)
+        return res.state.select("v", "label")
+
+    q["label_propagation2"] = q_lp
+
+    # -- dedup tier ---------------------------------------------------------
+    def q_exact_dedup(spark, sf_dir):
+        return exact_dedup(_documents(spark, sf_dir))
+
+    q["exact_dedup"] = q_exact_dedup
+
+    def q_fp_dedup(spark, sf_dir):
+        fp = fingerprint(_documents(spark, sf_dir))
+        return fp.groupBy("fp").agg(
+            F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+        )
+
+    q["fingerprint_dedup"] = q_fp_dedup
+
+    def q_jaccard(spark, sf_dir):
+        return jaccard_pairs(_documents(spark, sf_dir), threshold=0.5, k=3)
+
+    q["near_dup_jaccard"] = q_jaccard
+
+    def q_minhash(spark, sf_dir):
+        return minhash_lsh_pairs(_documents(spark, sf_dir), threshold=0.5, k=3)
+
+    q["near_dup_minhash_lsh"] = q_minhash  # rows-only: sketch recall pytest-checked
+
+    def q_simhash(spark, sf_dir):
+        return simhash_pairs(_documents(spark, sf_dir), max_hamming=3)
+
+    q["near_dup_simhash"] = q_simhash  # rows-only
+
+    # -- text-analysis tier -------------------------------------------------
+    def q_token_stats(spark, sf_dir):
+        return token_stats_by(_documents(spark, sf_dir), "lang")
+
+    q["token_stats_by_lang"] = q_token_stats
+
+    def q_quality(spark, sf_dir):
+        return quality_score(_documents(spark, sf_dir))
+
+    q["quality_scores"] = q_quality
+
+    def q_lang_id(spark, sf_dir):
+        return lang_id(_documents(spark, sf_dir))
+
+    q["lang_id"] = q_lang_id
+
+    # -- similarity tier ----------------------------------------------------
+    def q_topk(spark, sf_dir):
+        emb = _embeddings(spark, sf_dir)
+        out = cosine_topk(emb, emb.where(F.col("vec_id") < 24), k=5)
+        return out.select(
+            "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "sim"
+        )
+
+    q["embedding_topk"] = q_topk
+
+    def q_topk_lsh(spark, sf_dir):
+        emb = _embeddings(spark, sf_dir)
+        out = cosine_topk_lsh(emb, emb.where(F.col("vec_id") < 24), k=5, n_planes=6)
+        return out.select(
+            "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "sim"
+        )
+
+    q["embedding_topk_lsh"] = q_topk_lsh  # rows-only: recall pytest-checked
+
+    # -- multimodal tier ----------------------------------------------------
+    def q_binary_features(spark, sf_dir):
+        feats = extract_features(attach_payload(_documents(spark, sf_dir)))
+        return feats.select("asset_id", "n_bytes", "sha256")
+
+    q["binary_features"] = q_binary_features
+
+    def q_frame_sample(spark, sf_dir):
+        plan = frame_sample_plan(attach_payload(_documents(spark, sf_dir)))
+        return plan
+
+    q["frame_sample_plan"] = q_frame_sample
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    e = _e_sql()
+    ef = _e_sql(CC_FILTER)
+    stop = _sql_list(STOPWORDS)
+
+    o: dict[str, str] = {}
+
+    o["triangle_count"] = f"""WITH e AS ({e})
+SELECT CAST(count(*) AS BIGINT) AS triangles
+FROM e e1 JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
+JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst"""
+
+    o["wedge_count"] = f"""WITH e AS ({e}), sym AS ({SYM_SQL})
+SELECT CAST(count(*) AS BIGINT) AS wedges
+FROM sym e1 JOIN sym e2 ON e1.src = e2.src AND e1.dst < e2.dst"""
+
+    o["four_clique_count"] = f"""WITH e AS MATERIALIZED ({e}), sym AS ({SYM_SQL}), {ORIENT_SQL},
+tri AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM o e1 JOIN o e2 ON e2.src = e1.src AND e2.dst < e1.dst
+  JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+SELECT CAST(count(*) AS BIGINT) AS four_cliques FROM tri
+JOIN o ad ON ad.src = tri.a AND ad.dst < tri.c
+JOIN o bd ON bd.src = tri.b AND bd.dst = ad.dst
+JOIN o cd ON cd.src = tri.c AND cd.dst = ad.dst"""
+
+    o["four_cycle_count"] = f"""WITH e AS MATERIALIZED ({e}), sym AS ({SYM_SQL})
+SELECT CAST(count(*) AS BIGINT) AS four_cycles
+FROM sym ab JOIN sym bc ON bc.src = ab.dst
+JOIN sym cd ON cd.src = bc.dst
+JOIN sym da ON da.src = cd.dst AND da.dst = ab.src
+WHERE ab.src < ab.dst AND ab.src < bc.dst AND ab.src < cd.dst AND ab.dst < cd.dst"""
+
+    o["motif3_vertex_induced"] = f"""WITH e AS MATERIALIZED ({e}), sym AS ({SYM_SQL}),
+t AS (SELECT count(*) AS c FROM e e1
+      JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
+      JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+w AS (SELECT count(*) AS c FROM sym e1 JOIN sym e2 ON e1.src = e2.src AND e1.dst < e2.dst)
+SELECT CAST(2 AS BIGINT) AS pattern_edges, CAST(w.c - 3 * t.c AS BIGINT) AS cnt FROM w, t
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST(t.c AS BIGINT) FROM t"""
+
+    o["five_clique_existence"] = f"""WITH e AS MATERIALIZED ({e}), sym AS ({SYM_SQL}), {ORIENT_SQL},
+tri AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM o e1 JOIN o e2 ON e2.src = e1.src AND e2.dst < e1.dst
+  JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+four AS MATERIALIZED (
+  SELECT tri.a, tri.b, tri.c, ad.dst AS d FROM tri
+  JOIN o ad ON ad.src = tri.a AND ad.dst < tri.c
+  JOIN o bd ON bd.src = tri.b AND bd.dst = ad.dst
+  JOIN o cd ON cd.src = tri.c AND cd.dst = ad.dst)
+SELECT count(*) > 0 AS found FROM four
+JOIN o ae ON ae.src = four.a AND ae.dst < four.d
+JOIN o be ON be.src = four.b AND be.dst = ae.dst
+JOIN o ce ON ce.src = four.c AND ce.dst = ae.dst
+JOIN o de ON de.src = four.d AND de.dst = ae.dst"""
+
+    o["mni_support_wedge"] = f"""WITH e AS MATERIALIZED ({e}), sym AS ({SYM_SQL}),
+m AS MATERIALIZED (
+  SELECT e1.src AS c, e1.dst AS a, e2.dst AS b
+  FROM sym e1 JOIN sym e2 ON e1.src = e2.src AND e1.dst < e2.dst)
+SELECT CAST(least(
+  (SELECT count(DISTINCT c) FROM m),
+  (SELECT count(*) FROM (SELECT a AS x FROM m UNION SELECT b AS x FROM m))
+) AS BIGINT) AS support"""
+
+    o["degree_histogram"] = f"""WITH e AS ({e}), sym AS ({SYM_SQL}),
+deg AS (SELECT src AS v, count(*) AS degree FROM sym GROUP BY 1)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices FROM deg GROUP BY 1"""
+
+    o["top_degree_vertices"] = f"""WITH e AS ({e}), sym AS ({SYM_SQL}),
+deg AS (SELECT src AS v, count(*) AS degree FROM sym GROUP BY 1),
+rnk AS (SELECT v, degree, row_number() OVER (ORDER BY degree DESC, v) AS r FROM deg)
+SELECT CAST(r AS BIGINT) AS rank, v AS part, CAST(degree AS BIGINT) AS degree
+FROM rnk WHERE r <= 20"""
+
+    o["pagerank3"] = _pagerank_sql(3)
+    o["pagerank3_csr"] = _pagerank_sql(3)
+
+    o["connected_components"] = f"""WITH RECURSIVE e AS ({ef}), sym AS ({SYM_SQL}),
+reach(v, r) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT reach.v, sym.dst FROM reach JOIN sym ON reach.r = sym.src)
+SELECT v, least(v, min(r)) AS comp FROM reach GROUP BY v"""
+
+    o["label_propagation2"] = _labelprop_sql(2, CC_FILTER)
+
+    o["exact_dedup"] = """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)"""
+
+    o["fingerprint_dedup"] = r"""WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                 '\s+', ' ', 'g'))) AS fp
+  FROM documents)
+SELECT fp, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM fp GROUP BY fp"""
+
+    o["near_dup_jaccard"] = f"""WITH toks AS (
+  SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    [t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+     for i in generate_series(1, greatest(len(t) - 2, 0))])) AS sh
+  FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  GROUP BY 1, 2)
+SELECT a, b, round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5"""
+
+    o["token_stats_by_lang"] = f"""WITH toks AS (
+  SELECT lang, len({TOKS_SQL}) AS n FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens,
+       round(avg(n), 4) AS avg_tokens
+FROM toks GROUP BY lang"""
+
+    o["quality_scores"] = f"""WITH x AS (
+  SELECT doc_id, text, {TOKS_SQL} AS t FROM documents),
+y AS (
+  SELECT doc_id,
+    CAST(len(t) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter(t, w -> list_contains({stop}, w))) AS BIGINT) AS n_stop,
+    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+    CAST(greatest(length(text), 1) AS BIGINT) AS n_chars,
+    CAST(greatest(len(t), 1) AS DOUBLE) AS denom
+  FROM x)
+SELECT doc_id, n_tokens,
+  round(CAST(n_stop AS DOUBLE) / denom, 4) AS stopword_ratio,
+  round(CAST(n_distinct AS DOUBLE) / denom, 4) AS distinct_ratio,
+  round(CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE), 4) AS alpha_ratio,
+  round((least(CAST(n_tokens AS DOUBLE) / CAST(64 AS DOUBLE), CAST(1 AS DOUBLE))
+         + CAST(n_stop AS DOUBLE) / denom
+         + CAST(n_distinct AS DOUBLE) / denom
+         + CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE)) / CAST(4 AS DOUBLE), 4) AS quality
+FROM y"""
+
+    lang_scores = ",\n    ".join(
+        f"round(CAST(len(list_filter(t, w -> list_contains({_sql_list(ws)}, w))) AS DOUBLE)"
+        f" / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS s_{lang}"
+        for lang, ws in sorted(LANG_MARKERS.items())
+    )
+    langs = sorted(LANG_MARKERS)  # de, en, es, fr, zh
+    case = "CASE "
+    for i, lang in enumerate(langs[:-1]):
+        geq = " AND ".join(f"s_{lang} >= s_{l2}" for l2 in langs[i + 1 :])
+        case += f"WHEN {geq} THEN '{lang}' "
+    case += f"ELSE '{langs[-1]}' END"
+    o["lang_id"] = f"""WITH x AS (
+  SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+y AS (
+  SELECT doc_id,
+    {lang_scores}
+  FROM x)
+SELECT doc_id, {case} AS pred_lang,
+       greatest(s_de, s_en, s_es, s_fr, s_zh) AS score
+FROM y"""
+
+    dot = (
+        "list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) "
+        "for i in generate_series(1, len(q.embedding))])"
+    )
+    qn = (
+        "sqrt(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE) "
+        "for i in generate_series(1, len(q.embedding))]))"
+    )
+    cn = (
+        "sqrt(list_sum([CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) "
+        "for i in generate_series(1, len(c.embedding))]))"
+    )
+    o["embedding_topk"] = f"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 24),
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {dot} / ({qn} * {cn}) AS sim
+  FROM q, embeddings c WHERE c.vec_id <> q.vec_id),
+r AS (SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM p)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 6) AS sim
+FROM r WHERE rank <= 5"""
+
+    o["binary_features"] = """SELECT doc_id AS asset_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents"""
+
+    o["frame_sample_plan"] = """WITH a AS (
+  SELECT doc_id AS asset_id, CAST(octet_length(encode(text)) // 64 AS BIGINT) + 1 AS total
+  FROM documents)
+SELECT asset_id, unnest(generate_series(0, total - 1, 2)[1:8]) AS frame_index FROM a"""
+
+    return o

@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``cosine_topk`` — brute-force exact top-k: query set × corpus join with
+  the dot product as a JVM higher-order-function fold (``F.zip_with`` +
+  ``F.aggregate`` in double precision — no Python). The exact baseline and
+  the oracle-checkable path. O(|Q|·|C|) — fine for |Q| small or as the
+  per-bucket inner loop.
+* ``cosine_topk_lsh`` — random-hyperplane LSH: sign-bit signatures from a
+  deterministic (seeded, driver-generated) plane matrix, multi-probe bucket
+  join (exact bucket + all 1-bit flips), exact cosine re-rank inside the
+  bucket. The scale path: candidate generation is a bucket equi-join, so
+  cost is linear in corpus size times bucket occupancy — recall measured in
+  tests, precision exact (final ranking is true cosine).
+
+At 100 TB the corpus side is bucketed/partitioned by signature so each
+probe touches one partition — the same partition-pruning story as an IVF
+index (buckets = cells), without a training step.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return emb.withColumn("_norm", _norm(F.col(vec_col)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbours per query: (query_id, rank, neighbor_id,
+    sim) — rank 1..k by (sim desc, neighbor_id asc), self excluded, sim
+    rounded to 6dp. ``queries`` is broadcast when small (Catalyst decides
+    via AQE; the hint below forces it for the common small-Q case)."""
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_norm").alias("_cn"),
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 13) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes (driver-side, tiny:
+    n_planes × dim floats). Hash-derived — no RNG state, reproducible."""
+
+    def h(i: int, j: int) -> float:
+        # splitmix64-style integer scramble → uniform in [-1, 1)
+        x = (i * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9 + seed) & (2**64 - 1)
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & (2**64 - 1)
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & (2**64 - 1)
+        x ^= x >> 31
+        return (x / 2**63) - 1.0
+
+    return [[h(p, d) for d in range(dim)] for p in range(n_planes)]
+
+
+def signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit LSH signature of ``vec`` as a long (bit p = dot with plane p
+    > 0). Pure column fold — evaluated in codegen, vectorized."""
+    sig = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(w) for w in plane])
+        d = _dot(vec, arr)
+        sig = sig + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: LSH bucket join + exact cosine re-rank.
+
+    Corpus rows land in their signature bucket; each query probes its own
+    bucket plus (multiprobe) every 1-bit-flip neighbour bucket — 1+n_planes
+    probes, which repairs most boundary misses of sign LSH. Output schema
+    matches ``cosine_topk`` (rank may differ where recall < 1)."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes)
+
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_norm").alias("_cn"),
+        signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = with_norm(queries, vec_col).withColumn(
+        "_sig", signature(F.col(vec_col), planes)
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("_sig"),
+            *[F.col("_sig").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+        )
+    else:
+        probes = F.array(F.col("_sig"))
+    qp = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"),
+        F.explode(probes).alias("bucket"),
+    )
+    sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    scored = (
+        c.join(F.broadcast(qp), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )

@@ -1,0 +1,104 @@
+"""Tests for FSM (MNI support, extension, mining loop) and the relational
+edge-derivation helpers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from peregrine_spark.graph.build import symmetrized
+from peregrine_spark.graph.from_tables import (
+    chain_edges,
+    degrees,
+    pair_edges,
+    relabel_by_degree,
+)
+from peregrine_spark.operators.fsm import extend_patterns, fsm, mni_support
+from peregrine_spark.patterns.small_graph import PatternGenerator, SmallGraph
+from peregrine_spark.plans.compiler import compile_match
+from tests.conftest import edges_df
+
+
+def test_chain_edges(spark):
+    df = spark.createDataFrame(
+        [("g1", 3, 1), ("g1", 1, 2), ("g1", 2, 3), ("g2", 5, 1), ("g2", 7, 2)],
+        "grp string, item long, ord long",
+    )
+    got = {(r["src"], r["dst"]) for r in chain_edges(df, "grp", "item", ["ord"]).collect()}
+    # g1 sorted items: 1,2,3 -> edges (1,2),(2,3); g2: (5,7)
+    assert got == {(1, 2), (2, 3), (5, 7)}
+
+
+def test_pair_edges_cap(spark):
+    rows = [("big", i) for i in range(10)] + [("small", 1), ("small", 2)]
+    df = spark.createDataFrame(rows, "grp string, item long")
+    got = {(r["src"], r["dst"]) for r in pair_edges(df, "grp", "item", max_group_size=5).collect()}
+    assert got == {(1, 2)}  # the 10-item group is dropped by the skew guard
+
+
+def test_relabel_by_degree_paths_agree(spark):
+    e = edges_df(spark, [(10, 20), (10, 30), (10, 40), (20, 30), (50, 60)])
+    rel_w, map_w = relabel_by_degree(e, use_window=True)
+    rel_z, map_z = relabel_by_degree(e, use_window=False)
+    mw = {(r["v"], r["old"], r["degree"]) for r in map_w.collect()}
+    mz = {(r["v"], r["old"], r["degree"]) for r in map_z.collect()}
+    assert mw == mz
+    # vertex 10 (degree 3) must get id 1; degree sequence non-increasing in v
+    by_v = dict(sorted((r[0], r[2]) for r in mw))
+    assert by_v[1] == 3
+    assert list(by_v.values()) == sorted(by_v.values(), reverse=True)
+    # relabelled edge count preserved
+    assert rel_w.count() == e.count() == rel_z.count()
+
+
+def test_degrees(spark):
+    e = edges_df(spark, [(1, 2), (1, 3), (2, 3)])
+    d = {r["v"]: r["degree"] for r in degrees(e).collect()}
+    assert d == {1: 2, 2: 2, 3: 2}
+
+
+# -- FSM -------------------------------------------------------------------
+
+
+def test_mni_support_wedge(spark):
+    # star: center 1 with leaves 2,3,4 -> wedge matches: C(3,2)=3
+    e = edges_df(spark, [(1, 2), (1, 3), (1, 4)])
+    wedge = PatternGenerator.star(3)
+    m = compile_match(symmetrized(e), wedge).df
+    assert m.count() == 3
+    # center domain {1}; leaf domain {2,3,4} -> support = 1
+    assert mni_support(m, wedge) == 1
+
+
+def test_mni_support_triangle(spark):
+    e = edges_df(spark, [(1, 2), (1, 3), (2, 3), (3, 4), (2, 4)])
+    tri = PatternGenerator.clique(3)
+    m = compile_match(symmetrized(e), tri).df
+    assert m.count() == 2
+    # all positions share one orbit; distinct vertices in triangles: {1,2,3,4}
+    assert mni_support(m, tri) == 4
+
+
+def test_extend_patterns_dedup():
+    edge = SmallGraph(edges=[(1, 2)]).set_label(1, 0).set_label(2, 0)
+    ext = extend_patterns([edge], labels=[0])
+    # up to iso: path-3 (one labelled variant) only — closing (1,2) is present
+    assert len(ext) == 1
+    assert ext[0].num_vertices == 3
+
+
+def test_fsm_on_labelled_clique(spark):
+    # two triangles sharing an edge, all label 0
+    e = edges_df(spark, [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)])
+    verts = spark.createDataFrame([(v, 0) for v in [1, 2, 3, 4]], "v long, label long")
+    res = fsm(e, verts, support=2, max_vertices=3)
+    by_edges = {}
+    for g, s in res:
+        by_edges.setdefault((g.num_vertices, g.num_true_edges), s)
+    # single-edge pattern: MNI = min over both positions' domains = 4
+    assert by_edges[(2, 1)] == 4
+    # wedge (2 edges): every vertex appears as center and leaf -> support 4
+    assert by_edges[(3, 2)] == 4
+    # triangle: both triangles cover {1,2,3,4} -> support 4... but
+    # MNI uses orbit domains; triangle orbit = all vertices -> 4
+    assert by_edges[(3, 3)] == 4

@@ -1,0 +1,228 @@
+"""Tests for the training-data-pipeline tier: dedup, text analysis,
+similarity search, multimodal plumbing.
+
+Oracle idiom mirrors the repo's pattern tests: exact expected values
+computed by small pure-Python implementations on deterministic fixtures.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from peregrine_spark.multimodal.assets import (
+    attach_payload,
+    extract_features,
+    frame_sample_plan,
+)
+from peregrine_spark.similarity.ann import cosine_topk, cosine_topk_lsh
+from peregrine_spark.text.analysis import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+    token_stats_by,
+)
+from peregrine_spark.text.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    shingle_table,
+    simhash,
+    simhash_pairs,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again until done"
+DOCS = [
+    (0, BASE, "en"),
+    (1, BASE, "en"),                                    # exact dup of 0
+    (2, BASE.replace("dog", "cat"), "en"),              # near dup of 0
+    (3, "der hund und die katze sind gute freunde im haus", "de"),
+    (4, "completely different words about spark joins and shuffles here", "en"),
+    (5, "tiny", "en"),                                  # shorter than a shingle
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+
+
+def _py_shingles(text: str, k: int = 3) -> set[str]:
+    toks = text.split()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _py_jaccard(a: str, b: str, k: int = 3) -> float:
+    sa, sb = _py_shingles(a, k), _py_shingles(b, k)
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+def test_exact_dedup(docs):
+    rows = {r["keep_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert rows[0] == 2          # docs 0 and 1 collapse
+    assert 1 not in rows         # doc 1 is not a keeper
+    assert rows[2] == 1
+
+
+def test_shingle_table_matches_python(docs):
+    got = {
+        (r["id"], r["sh"]) for r in shingle_table(docs).collect()
+    }
+    expect = {
+        (i, sh) for i, text, _ in DOCS for sh in _py_shingles(text)
+    }
+    assert got == expect  # doc 5 contributes nothing (short-doc guard)
+
+
+def test_jaccard_pairs_exact(docs):
+    got = {(r["a"], r["b"]): r["jaccard"] for r in jaccard_pairs(docs, 0.5).collect()}
+    expect = {
+        (a, b): round(_py_jaccard(ta, tb), 6)
+        for (a, ta, _), (b, tb, _) in [
+            ((x[0], x[1], x[2]), (y[0], y[1], y[2]))
+            for x in DOCS
+            for y in DOCS
+            if x[0] < y[0]
+        ]
+        if _py_jaccard(ta, tb) >= 0.5
+    }
+    assert set(got) == set(expect)
+    for k in got:
+        assert got[k] == pytest.approx(expect[k], abs=1e-6)
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+
+
+def test_minhash_lsh_finds_planted_dups(docs):
+    got = {(r["a"], r["b"]) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    # exact dups always collide in every band; jaccard values are exact
+    assert (0, 1) in got
+    exact = {(r["a"], r["b"]) for r in jaccard_pairs(docs, 0.5).collect()}
+    assert got <= exact  # precision is exact (verified candidates)
+
+
+def test_simhash_near_dup(docs, spark):
+    sigs = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sigs[0] == sigs[1]
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_pairs(docs, 10).collect()}
+    assert pairs[(0, 1)] == 0
+    ham02 = bin((sigs[0] ^ sigs[2]) & (2**64 - 1)).count("1")
+    if ham02 <= 10:
+        assert pairs[(0, 2)] == ham02
+
+
+def test_token_stats(docs):
+    r = {x["doc_id"]: x for x in token_stats(docs).collect()}
+    toks = BASE.split()
+    assert r[0]["n_tokens"] == len(toks)
+    assert r[0]["n_distinct_tokens"] == len(set(toks))
+    assert r[5]["n_tokens"] == 1
+    by = {x["lang"]: x for x in token_stats_by(docs, "lang").collect()}
+    assert by["de"]["n_docs"] == 1
+    assert by["en"]["total_tokens"] == sum(len(t.split()) for i, t, l in DOCS if l == "en")
+
+
+def test_quality_and_lang(docs):
+    q = {x["doc_id"]: x for x in quality_score(docs).collect()}
+    toks = BASE.split()
+    stop_ratio = len([t for t in toks if t in {"the", "a", "of", "and", "to", "der",
+                                               "die", "das", "und", "ist", "le", "la",
+                                               "les", "et", "est", "el", "los", "y",
+                                               "es", "de", "shi", "he", "zai"}]) / len(toks)
+    assert q[0]["stopword_ratio"] == pytest.approx(stop_ratio, abs=1e-4)
+    assert 0.0 <= q[0]["quality"] <= 1.0
+    lang = {x["doc_id"]: x["pred_lang"] for x in lang_id(docs).collect()}
+    assert lang[3] == "de"
+    assert lang[0] == "en"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello,   World!"), (1, "hello world"), (2, "other")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in fingerprint(df).collect()}
+    assert fps[0] == fps[1] != fps[2]
+
+
+# -- similarity ------------------------------------------------------------
+
+
+def _vecs(n=40, dim=16, seed=3):
+    rng = np.random.RandomState(seed)
+    v = rng.randn(n, dim).astype(np.float32)
+    v[1] = v[0] + 0.01 * rng.randn(dim).astype(np.float32)  # near-neighbor pair
+    return v
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    v = _vecs()
+    return spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(v)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_cosine_topk_matches_numpy(emb):
+    v = _vecs().astype(np.float64)
+    sims = (v @ v.T) / (np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :])
+    got = cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["sim"]))
+    for qid in range(5):
+        order = sorted(
+            ((sims[qid, j], -j) for j in range(len(v)) if j != qid), reverse=True
+        )[:3]
+        expect = [(-nj, s) for s, nj in order]
+        rows = sorted(by_q[qid])
+        assert [r[1] for r in rows] == [e[0] for e in expect]
+        for r, e in zip(rows, expect):
+            assert r[2] == pytest.approx(e[1], abs=1e-5)
+
+
+def test_cosine_topk_lsh_recall(emb):
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in
+              cosine_topk_lsh(emb, emb.where(F.col("vec_id") < 5), k=3, n_planes=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5  # deterministic: 0.533 with these planes/fixture
+    # the planted near-identical neighbor always lands in the same/adjacent bucket
+    assert (0, 1) in approx
+
+
+# -- multimodal ------------------------------------------------------------
+
+
+def test_binary_feature_plumbing(docs):
+    feats = extract_features(attach_payload(docs)).collect()
+    by_id = {r["asset_id"]: r for r in feats}
+    for i, text, _ in DOCS:
+        raw = text.encode()
+        assert by_id[i]["n_bytes"] == len(raw)
+        assert by_id[i]["sha256"] == hashlib.sha256(raw).hexdigest()
+        assert len(by_id[i]["feature"]) == 8
+        assert by_id[i]["width"] >= 16 and by_id[i]["height"] >= 16
+
+
+def test_real_decoder_is_stubbed(docs):
+    from peregrine_spark.multimodal.assets import decode_real
+
+    with pytest.raises(NotImplementedError):
+        decode_real(b"bytes", "image")
+
+
+def test_frame_sample_plan(docs):
+    rows = frame_sample_plan(attach_payload(docs)).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["asset_id"], []).append(r["frame_index"])
+    for i, text, _ in DOCS:
+        total = len(text.encode()) // 64 + 1
+        expect = list(range(0, total, 2))[:8]
+        assert sorted(by_id[i]) == expect
