@@ -24,6 +24,7 @@ from peregrine_spark.graph.build import symmetrized
 from peregrine_spark.patterns.small_graph import PatternGenerator, SmallGraph
 from peregrine_spark.plans.compiler import MatchPlan, compile_match
 from peregrine_spark.plans.counts import convert_counts
+from peregrine_spark.plans.fast_counts import fast_count
 
 
 def match(
@@ -62,6 +63,22 @@ def _is_vertex_induced_motif_set(patterns: list[SmallGraph]) -> bool:
     return len(patterns) == len(PatternGenerator.all(size, vertex_based=False))
 
 
+def _count_one(
+    sym: DataFrame,
+    edges: DataFrame,
+    p: SmallGraph,
+    vertices: DataFrame | None,
+) -> int:
+    """Count one pattern: aggregate-only fast path (cliques / stars /
+    path-4, plans/fast_counts.py) when the shape allows, else the generic
+    compiled join plan."""
+    if vertices is None or not p.labels:
+        fc = fast_count(edges, p)
+        if fc is not None:
+            return int(fc.collect()[0]["cnt"])
+    return compile_match(sym, p, vertices).df.count()
+
+
 def count(
     edges: DataFrame,
     patterns: list[SmallGraph] | SmallGraph,
@@ -74,13 +91,13 @@ def count(
     if _is_vertex_induced_motif_set(patterns):
         stripped = [_strip_anti(p) for p in patterns]
         edge_counts = [
-            (p, compile_match(sym, p, vertices).df.count()) for p in stripped
+            (p, _count_one(sym, edges, p, vertices)) for p in stripped
         ]
         converted = convert_counts(edge_counts)
         # map converted counts back to the caller's (anti-edged) patterns
         conv = {p: c for p, c in converted}  # SmallGraph __eq__/__hash__ = canonical
         return [(orig, conv[strip]) for orig, strip in zip(patterns, stripped)]
-    return [(p, compile_match(sym, p, vertices).df.count()) for p in patterns]
+    return [(p, _count_one(sym, edges, p, vertices)) for p in patterns]
 
 
 def count_motifs(

@@ -1,0 +1,121 @@
+"""Counting fast paths — count patterns WITHOUT materializing the final
+join (the reference's biggest optimization; semantic parity with the
+Counter fast paths, core/PatternMatching.hh:1670-1857, and the warning
+that count() >> match(), core/Peregrine.hh:679-685).
+
+Shapes handled (unlabelled, no anti-edges):
+
+* k-clique  — degree-oriented join chain over the canonical edge table:
+  orientation toward higher degree bounds the out-degree by O(sqrt(|E|)),
+  so the wedge intermediate never explodes on hubs (the structural fix for
+  the skew the reference handles with MPI work stealing). Count is an
+  aggregate over the last join — no match rows survive the stage.
+* k-star    — pure aggregate: sum over vertices of C(deg, k-1)
+  (reference C5: one order group, binomial count).
+* path-4    — per-edge closed form: sum over edges of
+  (deg(u)-1)(deg(v)-1) minus 3*triangles (each path counted at its middle
+  edge; the subtraction removes the closed walks). Reference C6 spirit:
+  inclusion-exclusion over set sizes instead of enumeration.
+
+``fast_count`` returns None when no fast path applies — callers fall back
+to the generic pattern->join compiler. Correctness is cross-checked against
+the compiler on random graphs (tests/test_fast_counts.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from peregrine_spark.graph.from_tables import degrees
+from peregrine_spark.operators.triangles import _oriented, triangle_count
+from peregrine_spark.patterns.small_graph import SmallGraph
+
+
+def _comb(col: Column, k: int) -> Column:
+    """C(col, k) as a column expression (k small, exact integer result)."""
+    num = F.lit(1).cast("long")
+    for i in range(k):
+        num = num * F.greatest(col - F.lit(i), F.lit(0)).cast("long")
+    import math
+
+    return (num / F.lit(math.factorial(k))).cast("long")
+
+
+def _shape(p: SmallGraph) -> str | None:
+    if p.labels or p.has_anti_edges():
+        return None
+    n = p.num_vertices
+    degs = sorted(len(p.adj[v]) for v in p.vertices)
+    e = p.num_true_edges
+    if e == n * (n - 1) // 2:
+        return "clique"
+    if n >= 3 and degs == [1] * (n - 1) + [n - 1]:
+        return "star"
+    if n == 4 and degs == [1, 1, 2, 2] and e == 3:
+        return "path4"
+    return None
+
+
+def clique_count(edges: DataFrame, k: int) -> DataFrame:
+    """k-clique count via the degree-oriented join chain. ``edges`` must be
+    canonical (src<dst) with degree-descending ids (higher degree == lower
+    id) — the ingest invariant. Returns 1 row (cnt)."""
+    if k == 2:
+        return edges.agg(F.count(F.lit(1)).alias("cnt"))
+    o = _oriented(edges)
+    # m holds v1 > v2 > ... > v_i (id order == ascending degree order)
+    m = o.select(F.col("src").alias("v1"), F.col("dst").alias("v2"))
+    for i in range(3, k + 1):
+        e_new = o.select(
+            F.col("src").alias("v1"), F.col("dst").alias(f"v{i}")
+        )
+        m = m.join(e_new, "v1").where(F.col(f"v{i}") < F.col(f"v{i-1}"))
+        for j in range(2, i):
+            e_j = o.select(
+                F.col("src").alias(f"v{j}"), F.col("dst").alias(f"v{i}")
+            )
+            m = m.join(e_j, [f"v{j}", f"v{i}"], "left_semi")
+    return m.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def star_count(edges: DataFrame, k: int) -> DataFrame:
+    """k-vertex star count = sum_v C(deg(v), k-1). One groupBy + one agg —
+    no join at all. Returns 1 row (cnt)."""
+    return degrees(edges).agg(
+        F.sum(_comb(F.col("degree"), k - 1)).cast("long").alias("cnt")
+    )
+
+
+def path4_count(edges: DataFrame) -> DataFrame:
+    """Edge-induced path-on-4-vertices count. Per-middle-edge closed form
+    minus the triangle walks. Two aggregates + the triangle fast path."""
+    deg = degrees(edges)
+    du = deg.select(F.col("v").alias("src"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("v").alias("dst"), F.col("degree").alias("dv"))
+    walks = (
+        edges.join(du, "src")
+        .join(dv, "dst")
+        .agg(
+            F.sum((F.col("du") - 1).cast("long") * (F.col("dv") - 1).cast("long"))
+            .cast("long")
+            .alias("w")
+        )
+    )
+    tri = triangle_count(edges)
+    return walks.crossJoin(tri).select(
+        (F.col("w") - 3 * F.col("triangles")).cast("long").alias("cnt")
+    )
+
+
+def fast_count(edges: DataFrame, pattern: SmallGraph) -> DataFrame | None:
+    """1-row (cnt) DataFrame for fast-path shapes, else None (caller falls
+    back to the generic compiler)."""
+    shape = _shape(pattern)
+    if shape == "clique":
+        return clique_count(edges, pattern.num_vertices)
+    if shape == "star":
+        return star_count(edges, pattern.num_vertices)
+    if shape == "path4":
+        return path4_count(edges)
+    return None

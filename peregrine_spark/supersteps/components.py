@@ -37,7 +37,11 @@ def connected_components(
     )
     engine = engine or SuperstepEngine(spark)
 
+    cache_box: list[DataFrame] = []
+
     def step(state: DataFrame, i: int) -> tuple[DataFrame, float]:
+        while cache_box:
+            cache_box.pop().unpersist()
         nbr_min = (
             sym.join(state, sym["src"] == state["v"])
             .groupBy(F.col("dst").alias("v2"))
@@ -53,8 +57,11 @@ def connected_components(
         )
         new.persist()
         changed = new.where(F.col("comp") != F.col("old")).count()
+        cache_box.append(new)
         return new.select("v", "comp"), float(changed)
 
     res = engine.run(state0, step, max_iters=max_iters, tol=0.0, resume=resume)
+    while cache_box:
+        cache_box.pop().unpersist()
     sym.unpersist()
     return res

@@ -71,11 +71,18 @@ class SuperstepEngine:
         checkpoint_dir: str | None = None,
         run_id: str = "run",
         checkpoint_every: int = 1,
+        adaptive: bool = False,
     ):
         self.spark = spark
         self.dir = Path(checkpoint_dir) if checkpoint_dir else None
         self.run_id = run_id
         self.checkpoint_every = max(1, checkpoint_every)
+        # AQE re-plans every superstep query and interacts badly with
+        # localCheckpoint partition materialization (measured 10x superstep
+        # slowdown); iterative supersteps use static partitioning — skew is
+        # handled structurally (chunked CSR blocks, degree orientation).
+        # adaptive=True keeps the session setting untouched.
+        self.adaptive = adaptive
 
     # -- checkpoint layout -------------------------------------------------
     def _step_path(self, i: int) -> Path:
@@ -134,6 +141,23 @@ class SuperstepEngine:
 
         converged = False
         i = start_iter - 1
+        aqe_key = "spark.sql.adaptive.enabled"
+        aqe_before = self.spark.conf.get(aqe_key)
+        if not self.adaptive:
+            self.spark.conf.set(aqe_key, "false")
+        try:
+            state, i, converged = self._loop(
+                state, step_fn, start_iter, max_iters, tol, metrics
+            )
+        finally:
+            self.spark.conf.set(aqe_key, aqe_before)
+        return SuperstepResult(
+            state=state, iterations=i + 1, converged=converged, metrics=metrics
+        )
+
+    def _loop(self, state, step_fn, start_iter, max_iters, tol, metrics):
+        converged = False
+        i = start_iter - 1
         for i in range(start_iter, max_iters):
             t0 = time.monotonic()
             new_state, delta = step_fn(state, i)
@@ -171,6 +195,4 @@ class SuperstepEngine:
                 converged = True
                 break
 
-        return SuperstepResult(
-            state=state, iterations=i + 1, converged=converged, metrics=metrics
-        )
+        return state, i, converged

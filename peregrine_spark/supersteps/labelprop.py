@@ -43,7 +43,11 @@ def label_propagation(
         )
     engine = engine or SuperstepEngine(spark)
 
+    cache_box: list[DataFrame] = []
+
     def step(state: DataFrame, i: int) -> tuple[DataFrame, float]:
+        while cache_box:
+            cache_box.pop().unpersist()
         freq = (
             sym.join(state, sym["src"] == state["v"])
             .groupBy(F.col("dst").alias("v2"), "label")
@@ -62,8 +66,11 @@ def label_propagation(
         )
         new.persist()
         changed = new.where(F.col("label") != F.col("old")).count()
+        cache_box.append(new)
         return new.select("v", "label"), float(changed)
 
     res = engine.run(state0, step, max_iters=max_iters, tol=0.0, resume=resume)
+    while cache_box:
+        cache_box.pop().unpersist()
     sym.unpersist()
     return res

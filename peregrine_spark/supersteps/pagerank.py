@@ -68,7 +68,13 @@ def pagerank(
     state0, n = _init_state(deg)
     engine = engine or SuperstepEngine(spark)
 
+    cache_box: list[DataFrame] = []
+
     def step(state: DataFrame, i: int) -> tuple[DataFrame, float]:
+        # previous step's cache is safe to drop once the engine has
+        # truncated/checkpointed that state (i.e. by the time we run again)
+        while cache_box:
+            cache_box.pop().unpersist()
         contrib = (
             sym.join(state, sym["src"] == state["v"])
             .select(F.col("dst").alias("v"), (F.col("rank") / F.col("deg")).alias("c"))
@@ -90,10 +96,13 @@ def pagerank(
         )
         new.persist()
         delta = new.agg(F.sum(F.abs(F.col("rank") - F.col("old")))).collect()[0][0]
+        cache_box.append(new)
         out = new.select("v", "deg", "rank")
         return out, float(delta or 0.0)
 
     res = engine.run(state0, step, max_iters=max_iters, tol=tol, resume=resume)
+    while cache_box:
+        cache_box.pop().unpersist()
     res.state = res.state.select("v", "rank", "deg")
     sym.unpersist()
     return res
@@ -159,7 +168,11 @@ def pagerank_csr(
             partial = np.bincount(inv, weights=shares, minlength=len(uniq))
             yield pd.DataFrame({"v": uniq.astype(np.int64), "inflow": partial})
 
+    cache_box: list[DataFrame] = []
+
     def step(state: DataFrame, i: int) -> tuple[DataFrame, float]:
+        while cache_box:
+            cache_box.pop().unpersist()
         joined = blocks.join(state, blocks["src"] == state["v"]).select(
             "nbrs", "rank", state["deg"].alias("deg")
         )
@@ -183,9 +196,12 @@ def pagerank_csr(
         )
         new.persist()
         delta = new.agg(F.sum(F.abs(F.col("rank") - F.col("old")))).collect()[0][0]
+        cache_box.append(new)
         return new.select("v", "deg", "rank"), float(delta or 0.0)
 
     res = engine.run(state0, step, max_iters=max_iters, tol=tol, resume=resume)
+    while cache_box:
+        cache_box.pop().unpersist()
     res.state = res.state.select("v", "rank", "deg")
     blocks.unpersist()
     return res
