@@ -61,6 +61,11 @@ from peregrine_spark.text.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
+from peregrine_spark.streaming.windows import (
+    session_agg_batch,
+    sliding_agg,
+    tumbling_agg,
+)
 
 # ---------------------------------------------------------------------------
 # shared inputs
@@ -362,6 +367,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frame_sample_plan"] = q_frame_sample
 
+    # -- event-time windowing tier (batch form; streaming form is the same
+    # logical query over readStream — tests/test_streaming.py proves parity)
+    def _events(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def q_tumbling(spark, sf_dir):
+        out = tumbling_agg(_events(spark, sf_dir), "1 hour")
+        return out.select(
+            F.unix_micros(F.col("window_start").cast("timestamp")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+
+    q["events_tumbling_hourly"] = q_tumbling
+
+    def q_sliding(spark, sf_dir):
+        out = sliding_agg(_events(spark, sf_dir), "1 hour", "30 minutes")
+        return out.select(
+            F.unix_micros(F.col("window_start").cast("timestamp")).alias("window_start_us"), "n_events"
+        )
+
+    q["events_sliding_counts"] = q_sliding
+
+    def q_sessions(spark, sf_dir):
+        out = session_agg_batch(_events(spark, sf_dir), "30 minutes")
+        return out.select(
+            "user_id",
+            F.unix_micros(F.col("session_start").cast("timestamp")).alias("session_start_us"),
+            F.unix_micros(F.col("session_end").cast("timestamp")).alias("session_end_us"),
+            "n_events",
+        )
+
+    q["events_sessions"] = q_sessions
+
     return q
 
 
@@ -561,5 +601,33 @@ FROM documents"""
   SELECT doc_id AS asset_id, CAST(octet_length(encode(text)) // 64 AS BIGINT) + 1 AS total
   FROM documents)
 SELECT asset_id, unnest(generate_series(0, total - 1, 2)[1:8]) AS frame_index FROM a"""
+
+    o["events_tumbling_hourly"] = """SELECT
+  epoch_us(date_trunc('hour', ts)) AS window_start_us,
+  event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2"""
+
+    o["events_sliding_counts"] = """WITH b AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS b30 FROM events),
+w AS (
+  SELECT unnest([epoch_us(b30), epoch_us(b30 - INTERVAL '30 minutes')]) AS window_start_us
+  FROM b)
+SELECT window_start_us, CAST(count(*) AS BIGINT) AS n_events FROM w GROUP BY 1"""
+
+    o["events_sessions"] = """WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                + INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us, CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, session_id"""
 
     return o
