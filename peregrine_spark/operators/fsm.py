@@ -44,12 +44,19 @@ def mni_support(matches: DataFrame, pattern: SmallGraph) -> int:
     true_vs = {v for v in pattern.vertices if pattern.adj.get(v)}
     orbits = [o for o in automorphism_sets(pattern) if set(o) <= true_vs]
     support = None
-    for orbit in orbits:
-        stacked = matches.select(
-            F.explode(F.array(*[F.col(f"v{p}") for p in orbit])).alias("x")
-        )
-        n = stacked.agg(F.count_distinct("x").alias("n")).collect()[0]["n"]
-        support = n if support is None else min(support, n)
+    multi = len(orbits) > 1
+    if multi:
+        matches = matches.persist()  # one materialization, one agg per orbit
+    try:
+        for orbit in orbits:
+            stacked = matches.select(
+                F.explode(F.array(*[F.col(f"v{p}") for p in orbit])).alias("x")
+            )
+            n = stacked.agg(F.count_distinct("x").alias("n")).collect()[0]["n"]
+            support = n if support is None else min(support, n)
+    finally:
+        if multi:
+            matches.unpersist()
     return int(support or 0)
 
 
