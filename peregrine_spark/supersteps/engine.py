@@ -62,7 +62,10 @@ class SuperstepEngine:
     """Runs ``state_{i+1} = step_fn(state_i, i)`` to convergence.
 
     step_fn returns (new_state, delta) where delta is a float convergence
-    measure (L1 change, changed-row count, ...); delta <= tol stops.
+    measure (L1 change, changed-row count, ...); delta <= tol stops. A step
+    may return delta=None, meaning "convergence not measured this step" —
+    the loop continues and only the plan-truncation job runs (one Spark job
+    per superstep; vertex programs expose ``check_every`` for this).
     """
 
     def __init__(
@@ -162,8 +165,11 @@ class SuperstepEngine:
             t0 = time.monotonic()
             new_state, delta = step_fn(state, i)
 
+            checked = delta is not None
             persist = self.dir is not None and (
-                i % self.checkpoint_every == 0 or delta <= tol or i == max_iters - 1
+                i % self.checkpoint_every == 0
+                or (checked and delta <= tol)
+                or i == max_iters - 1
             )
             if persist:
                 path = self._step_path(i)
@@ -178,11 +184,11 @@ class SuperstepEngine:
             m = {
                 "run_id": self.run_id,
                 "iteration": i,
-                "delta": float(delta),
+                "delta": float(delta) if checked else None,
                 "seconds": time.monotonic() - t0,
                 "rows": sum(p["rows"] for p in lineage) if lineage else None,
                 "partitions": lineage,
-                "converged": bool(delta <= tol),
+                "converged": bool(checked and delta <= tol),
             }
             metrics.append(m)
             if self.dir:
@@ -191,7 +197,7 @@ class SuperstepEngine:
                     f.write(json.dumps(m) + "\n")
 
             state = new_state
-            if delta <= tol:
+            if checked and delta <= tol:
                 converged = True
                 break
 

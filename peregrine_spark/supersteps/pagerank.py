@@ -57,9 +57,15 @@ def pagerank(
     tol: float = 1e-6,
     engine: SuperstepEngine | None = None,
     resume: bool = False,
+    check_every: int = 1,
 ) -> SuperstepResult:
     """Strategy A: pure-DataFrame supersteps. ``edges`` is canonical
-    (src<dst); state schema (v, deg, rank)."""
+    (src<dst); state schema (v, deg, rank).
+
+    check_every: convergence (L1 delta) is measured every k-th superstep;
+    in between, a superstep is exactly ONE Spark job (the truncation pass)
+    — at scale the delta aggregation is a second full pass over the state,
+    so fixed-iteration runs set this high."""
     spark = edges.sparkSession
     sym = symmetrized(edges)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -94,6 +100,8 @@ def pagerank(
                 "old",
             )
         )
+        if (i + 1) % check_every and i != max_iters - 1:
+            return new.select("v", "deg", "rank"), None
         new.persist()
         delta = new.agg(F.sum(F.abs(F.col("rank") - F.col("old")))).collect()[0][0]
         cache_box.append(new)
@@ -140,6 +148,7 @@ def pagerank_csr(
     chunk_size: int = 1 << 16,
     engine: SuperstepEngine | None = None,
     resume: bool = False,
+    check_every: int = 1,
 ) -> SuperstepResult:
     """Strategy B: chunked-CSR Arrow kernel supersteps."""
     spark = edges.sparkSession
@@ -194,6 +203,8 @@ def pagerank_csr(
                 "old",
             )
         )
+        if (i + 1) % check_every and i != max_iters - 1:
+            return new.select("v", "deg", "rank"), None
         new.persist()
         delta = new.agg(F.sum(F.abs(F.col("rank") - F.col("old")))).collect()[0][0]
         cache_box.append(new)
