@@ -26,8 +26,14 @@ def connected_components(
     max_iters: int = 50,
     engine: SuperstepEngine | None = None,
     resume: bool = False,
+    check_every: int = 1,
 ) -> SuperstepResult:
-    """State: (v, comp). Converged when changed-row count hits 0."""
+    """State: (v, comp). Converged when changed-row count hits 0.
+
+    check_every: the changed-row count (a second pass over the state) runs
+    every k-th superstep; min-propagation is idempotent at fixpoint, so the
+    up-to-k-1 extra supersteps are safe — at scale the saved pass dominates.
+    """
     spark = edges.sparkSession
     sym = symmetrized(edges)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -55,6 +61,8 @@ def connected_components(
                 F.least("comp", F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
             )
         )
+        if (i + 1) % check_every and i != max_iters - 1:
+            return new.select("v", "comp"), None
         new.persist()
         changed = new.where(F.col("comp") != F.col("old")).count()
         cache_box.append(new)

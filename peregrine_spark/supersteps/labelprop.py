@@ -27,6 +27,7 @@ def label_propagation(
     max_iters: int = 10,
     engine: SuperstepEngine | None = None,
     resume: bool = False,
+    check_every: int = 1,
 ) -> SuperstepResult:
     """State: (v, label). ``seeds`` optional (v, label) initial assignment;
     default label_0(v) = v."""
@@ -64,6 +65,8 @@ def label_propagation(
             .join(best, state["v"] == F.col("v2"), "left")
             .select("v", F.coalesce("new_label", F.col("old")).alias("label"), "old")
         )
+        if (i + 1) % check_every and i != max_iters - 1:
+            return new.select("v", "label"), None
         new.persist()
         changed = new.where(F.col("label") != F.col("old")).count()
         cache_box.append(new)
