@@ -305,7 +305,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pagerank3_csr"] = q_pagerank_csr
 
     def q_cc(spark, sf_dir):
-        res = connected_components(_edges(spark, sf_dir, CC_FILTER), max_iters=64)
+        # min-label propagation needs ~diameter supersteps; retry with a
+        # doubled budget rather than silently returning unconverged labels
+        # (they would diverge from the recursive-SQL oracle).
+        for max_iters in (64, 256, 1024):
+            res = connected_components(_edges(spark, sf_dir, CC_FILTER), max_iters=max_iters)
+            if res.converged:
+                break
+        assert res.converged, "connected_components did not converge"
         return res.state.select("v", "comp")
 
     q["connected_components"] = q_cc

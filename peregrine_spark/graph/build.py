@@ -108,6 +108,48 @@ def symmetrized(edges: DataFrame) -> DataFrame:
     return edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 
+def contiguous_rank(
+    df: DataFrame, order_cols: list, rank_col: str = "_rank"
+) -> DataFrame:
+    """Append a 1-based contiguous global rank by ``order_cols`` without a
+    single-partition sort and without leaving the JVM.
+
+    The distributed two-pass idiom (reference analogue: the converter's
+    renumbering, core/DataConverter.cc:283-304): range-repartition by the
+    sort key (materialized once so partition ids are stable), count rows per
+    range partition (a tiny collect — one row per partition), then
+    rank = partition offset + intra-partition row_number. The window is
+    PARTITIONED by the range-partition id, so each window group is one
+    balanced range — never the whole table. All stages are JVM-side; no
+    Python RDD round-trip.
+
+    ``order_cols`` must define a strict total order (no duplicate sort keys)
+    for the rank to be deterministic.
+    """
+    spark = df.sparkSession
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    part = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # freeze partition boundaries for both passes
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(max(counts) + 1 if counts else 0):
+        offsets.append((pid, acc))
+        acc += counts.get(pid, 0)
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        part.join(F.broadcast(off_df), "_pid")
+        .withColumn(rank_col, (F.col("_off") + F.row_number().over(w)).cast("long"))
+        .drop("_pid", "_off")
+    )
+
+
 def assign_degree_ids(key_edges: DataFrame) -> DataFrame:
     """(key_src, key_dst) canonical string-key edges → vertex dictionary
     (v, key, degree) with v = 1-based contiguous, degree-descending, ties by
@@ -115,25 +157,17 @@ def assign_degree_ids(key_edges: DataFrame) -> DataFrame:
     mirroring the reference's deletion of degree-0 vertices.
 
     Implementation: degree via groupBy-count over the symmetrized view, then
-    sortWithinPartitions-free global ordering via ``repartitionByRange`` +
-    ``zipWithIndex`` (two linear passes, no single-task sort).
+    global ordering via :func:`contiguous_rank` (range partition + per-range
+    offsets — two linear passes, no single-task sort, no Python RDD).
     """
     both = key_edges.select(F.col("src").alias("key")).union(
         key_edges.select(F.col("dst").alias("key"))
     )
     degrees = both.groupBy("key").agg(F.count("*").alias("degree"))
-    # Range-partition by the sort key, sort within partitions, then
-    # zipWithIndex computes per-partition offsets in one extra job.
-    ordered = degrees.repartitionByRange(
-        max(degrees.sparkSession.sparkContext.defaultParallelism, 8),
-        F.col("degree").desc(),
-        F.col("key").asc(),
-    ).sortWithinPartitions(F.col("degree").desc(), F.col("key").asc())
-    spark = key_edges.sparkSession
-    with_ids = ordered.rdd.zipWithIndex().map(
-        lambda t: (t[1] + 1, t[0]["key"], t[0]["degree"])
+    ranked = contiguous_rank(
+        degrees, [F.col("degree").desc(), F.col("key").asc()], "v"
     )
-    return spark.createDataFrame(with_ids, "v long, key string, degree long")
+    return ranked.select(F.col("v"), "key", "degree")
 
 
 def build_graph(src_df: DataFrame, include_co_commit: bool = True) -> GraphTables:

@@ -17,10 +17,10 @@ commit, parts per order, docs per source. Two derivations:
 ``relabel_by_degree`` reassigns 1-based contiguous ids by descending degree
 (ties by old id ascending) — the reference's load-bearing renumbering
 (core/DataConverter.cc:283-304) that makes symmetry-break range pruning and
-degree-based edge orientation cheap. Two physical strategies: a global
-window (fine up to ~10M vertices on one shuffle partition of ranks) and the
-zipWithIndex two-pass idiom used by ``graph.build.assign_degree_ids`` for
-arbitrarily large vertex sets.
+degree-based edge orientation cheap. Default physical strategy: the
+distributed two-pass ranking (``graph.build.contiguous_rank`` — range
+partition + per-range offsets) that works for arbitrarily large vertex
+sets; a global-window variant is kept as an opt-in cross-check path.
 """
 
 from __future__ import annotations
@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from peregrine_spark.graph.build import edges_from_pairs, symmetrized
+from peregrine_spark.graph.build import contiguous_rank, edges_from_pairs, symmetrized
 
 
 def chain_edges(
@@ -86,13 +86,18 @@ def degrees(edges: DataFrame) -> DataFrame:
 
 
 def relabel_by_degree(
-    edges: DataFrame, use_window: bool = True
+    edges: DataFrame, use_window: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """Relabel vertices 1..|V| by (degree desc, old id asc).
 
     Returns (relabelled canonical edges, mapping (v, old, degree)).
-    ``use_window=False`` switches to the zipWithIndex two-pass idiom (no
-    single-partition sort) for vertex sets too large for one window.
+
+    The default is the scale-safe distributed two-pass ranking
+    (:func:`peregrine_spark.graph.build.contiguous_rank` — range partition +
+    per-range offsets, no single-partition sort, no Python RDD).
+    ``use_window=True`` opts into a single global Window sort — only sane
+    for small vertex sets (everything funnels through ONE task); kept as a
+    cross-check path for tests.
     """
     deg = degrees(edges)
     if use_window:
@@ -103,16 +108,12 @@ def relabel_by_degree(
             "degree",
         )
     else:
-        spark = edges.sparkSession
-        ordered = deg.repartitionByRange(
-            max(spark.sparkContext.defaultParallelism, 8),
-            F.col("degree").desc(),
-            F.col("v").asc(),
-        ).sortWithinPartitions(F.col("degree").desc(), F.col("v").asc())
-        rdd = ordered.rdd.zipWithIndex().map(
-            lambda t: (t[1] + 1, t[0]["v"], t[0]["degree"])
+        ranked = contiguous_rank(
+            deg, [F.col("degree").desc(), F.col("v").asc()], "_rank"
         )
-        mapping = spark.createDataFrame(rdd, "v long, old long, degree long")
+        mapping = ranked.select(
+            F.col("_rank").alias("v"), F.col("v").alias("old"), "degree"
+        )
     m_src = mapping.select(F.col("old").alias("src"), F.col("v").alias("_sv"))
     m_dst = mapping.select(F.col("old").alias("dst"), F.col("v").alias("_dv"))
     relabelled = (

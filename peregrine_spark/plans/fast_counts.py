@@ -33,13 +33,22 @@ from peregrine_spark.patterns.small_graph import SmallGraph
 
 
 def _comb(col: Column, k: int) -> Column:
-    """C(col, k) as a column expression (k small, exact integer result)."""
-    num = F.lit(1).cast("long")
-    for i in range(k):
-        num = num * F.greatest(col - F.lit(i), F.lit(0)).cast("long")
-    import math
+    """C(col, k) as a column expression (k small, exact integer result).
 
-    return (num / F.lit(math.factorial(k))).cast("long")
+    Iterative exact form: C(n, i) = C(n, i-1) * (n-i+1) / i — every
+    intermediate is itself an exact binomial, so the division is exact.
+    Arithmetic runs in decimal(38,0): the long product of a naive
+    numerator overflows at hub degrees (~2e6 for k=3) and a double
+    division loses precision past 2^53; decimal keeps ~1e38 headroom
+    (intermediate c*(n-i+1) <= C(n,i)*n < 2^63 * 2^63 ≈ 8.5e37) while the
+    division result stays exact because it is integral.
+    """
+    dec = "decimal(38,0)"
+    c = F.lit(1).cast(dec)
+    for i in range(1, k + 1):
+        term = F.greatest(col - F.lit(i - 1), F.lit(0)).cast(dec)
+        c = ((c * term) / F.lit(i)).cast(dec)
+    return c.cast("long")
 
 
 def _shape(p: SmallGraph) -> str | None:

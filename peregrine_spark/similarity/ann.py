@@ -51,11 +51,17 @@ def cosine_topk(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbours per query: (query_id, rank, neighbor_id,
     sim) — rank 1..k by (sim desc, neighbor_id asc), self excluded, sim
-    rounded to 6dp. ``queries`` is broadcast when small (Catalyst decides
-    via AQE; the hint below forces it for the common small-Q case)."""
+    rounded to 6dp.
+
+    This is the brute-force O(|Q|·|C|) oracle baseline (the scale path is
+    ``cosine_topk_lsh``). ``broadcast_queries=True`` (default) force-hints a
+    broadcast of the query side — correct ONLY for small query sets (the
+    common case: a probe batch against a large corpus). Pass False for large
+    |Q| so Catalyst picks a shuffle join instead of OOMing executors."""
     c = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
@@ -67,8 +73,9 @@ def cosine_topk(
         F.col("_norm").alias("_qn"),
     )
     sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    q_side = F.broadcast(q) if broadcast_queries else q
     scored = (
-        c.crossJoin(F.broadcast(q))
+        c.crossJoin(q_side)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("sim"))
     )
@@ -118,14 +125,20 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     multiprobe: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: LSH bucket join + exact cosine re-rank.
 
     Corpus rows land in their signature bucket; each query probes its own
     bucket plus (multiprobe) every 1-bit-flip neighbour bucket — 1+n_planes
     probes, which repairs most boundary misses of sign LSH. Output schema
-    matches ``cosine_topk`` (rank may differ where recall < 1)."""
-    dim = len(corpus.select(vec_col).first()[0])
+    matches ``cosine_topk`` (rank may differ where recall < 1).
+
+    ``dim``: embedding dimensionality. Pass it when known (schema metadata)
+    to keep the operator action-free; the fallback probes one corpus row on
+    the driver."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes)
 
     c = with_norm(corpus, vec_col).select(

@@ -190,6 +190,11 @@ def minhash_lsh_pairs(
         .where(jac >= F.lit(threshold))
         .select("a", "b", F.round(jac, 6).alias("jaccard"))
     )
+    # Materialize the (small) verified-pair result, then release the shingle
+    # cache — otherwise repeated calls in a long-lived session leak cached
+    # blocks (the shingle table is the big intermediate here).
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
     return out
 
 

@@ -71,3 +71,14 @@ def test_motif4_counts_match_oracle(spark):
     res = count_motifs(e, 4, vertex_induced=True)
     for p, c in res:
         assert c == brute_count(pairs, p), p.to_string()
+
+
+def test_star_count_exact_at_hub_degree_beyond_2_53(spark):
+    """C(deg, k-1) must be exact integer arithmetic: at deg=300k the naive
+    long-product/double-division path exceeds 2^53 and rounds wrong."""
+    from peregrine_spark.plans.fast_counts import star_count
+
+    n = 300_000
+    hub = spark.range(1, n + 1).selectExpr("CAST(0 AS LONG) AS src", "id AS dst")
+    got = star_count(hub, 4).collect()[0]["cnt"]
+    assert got == math.comb(n, 3)  # leaves contribute C(1,3)=0

@@ -102,3 +102,17 @@ def test_fsm_on_labelled_clique(spark):
     # triangle: both triangles cover {1,2,3,4} -> support 4... but
     # MNI uses orbit domains; triangle orbit = all vertices -> 4
     assert by_edges[(3, 3)] == 4
+
+
+def test_relabel_default_is_scale_safe(spark):
+    """The default relabel path must not funnel the vertex set through a
+    single-partition global sort (VERDICT r1 scale-killer): no
+    `Exchange SinglePartition` anywhere in the executed plan."""
+    e = edges_df(spark, [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3), (5, 6)])
+    _, mapping = relabel_by_degree(e)
+    plan = mapping._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    # sanity: the opt-in window path IS the single-partition sort
+    _, mapping_w = relabel_by_degree(e, use_window=True)
+    plan_w = mapping_w._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in plan_w
