@@ -72,6 +72,7 @@ from peregrine_spark.streaming.windows import (
 # ---------------------------------------------------------------------------
 
 CC_FILTER = "l_quantity <= 3"  # sparser subgraph -> many components
+MOTIF5_FILTER = "l_quantity <= 8"  # ~2.5k edges, max degree ~10: 5-motifs tractable
 
 
 def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,6 +159,94 @@ def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
     return ",\n".join(parts) + f"\nSELECT v, round(rank, 6) AS rank FROM r{iters}"
 
 
+def _inj_hom_sql(p) -> tuple[str, str]:
+    """(FROM clause, WHERE clause) counting *injective homomorphisms* of
+    unlabelled pattern ``p`` into the ``sym`` view: one sym leg per pattern
+    edge (ordered connectedly), equality constraints tying shared vertices,
+    ``<>`` for non-adjacent pairs. Dividing by |Aut(p)| gives the
+    edge-induced count — a formulation fully independent of the engine's
+    symmetry-breaking compiler (different uniqueness mechanism, same math).
+    """
+    edges = list(p.true_edges())
+    ordered = [edges[0]]
+    seen = set(edges[0])
+    rest = edges[1:]
+    while rest:
+        for k, (u, v) in enumerate(rest):
+            if u in seen or v in seen:
+                ordered.append((u, v))
+                seen |= {u, v}
+                rest.pop(k)
+                break
+        else:
+            raise ValueError("pattern not connected")
+    var: dict[int, str] = {}
+    froms, conds = [], []
+    for k, (u, v) in enumerate(ordered, 1):
+        t = f"s{k}"
+        froms.append(f"sym {t}")
+        if u in var and v in var:
+            conds += [f"{t}.src = {var[u]}", f"{t}.dst = {var[v]}"]
+        elif u in var:
+            conds.append(f"{t}.src = {var[u]}")
+            var[v] = f"{t}.dst"
+        elif v in var:
+            conds.append(f"{t}.src = {var[v]}")
+            var[u] = f"{t}.dst"
+        else:
+            var[u], var[v] = f"{t}.src", f"{t}.dst"
+    eset = {(min(u, v), max(u, v)) for u, v in edges}
+    vs = sorted(var)
+    for i in range(len(vs)):
+        for j in range(i + 1, len(vs)):
+            if (vs[i], vs[j]) not in eset:
+                conds.append(f"{var[vs[i]]} <> {var[vs[j]]}")
+    return ", ".join(froms), (" WHERE " + " AND ".join(conds)) if conds else ""
+
+
+def _motif_oracle_sql(size: int, filt: str) -> str:
+    """Vertex-induced k-motif counts: per pattern, injective-hom count /
+    |Aut| (edge-induced), then the downward-closure conversion with literal
+    num_mappings coefficients — two independent roads vs the Spark side
+    (which matches with symmetry-break predicates and converts driver-side).
+    """
+    from peregrine_spark.patterns.canonical import automorphisms
+    from peregrine_spark.plans.counts import num_mappings
+
+    pats = PatternGenerator.all(size, vertex_based=False)
+    parts = [
+        f"WITH e AS MATERIALIZED ({_e_sql(filt)})",
+        f"sym AS MATERIALIZED ({SYM_SQL})",
+    ]
+    for i, p in enumerate(pats):
+        frm, whr = _inj_hom_sql(p)
+        aut = len(automorphisms(p))
+        # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and the
+        # chained v{i} references below would expand exponentially.
+        parts.append(
+            f"ec{i} AS MATERIALIZED (SELECT (SELECT count(*) FROM {frm}{whr}) // {aut} AS c)"
+        )
+    order = sorted(range(len(pats)), key=lambda i: -pats[i].num_true_edges)
+    for i in order:
+        p = pats[i]
+        terms = [
+            f"{num_mappings(p, pats[j])} * (SELECT c FROM v{j})"
+            for j in order
+            if pats[j].num_true_edges > p.num_true_edges and num_mappings(p, pats[j])
+        ]
+        expr = f"(SELECT c FROM ec{i})" + (
+            f" - ({' + '.join(terms)})" if terms else ""
+        )
+        parts.append(f"v{i} AS MATERIALIZED (SELECT {expr} AS c)")
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS pattern_id,"
+        f" CAST({pats[i].num_true_edges} AS BIGINT) AS pattern_edges,"
+        f" CAST((SELECT c FROM v{i}) AS BIGINT) AS cnt"
+        for i in range(len(pats))
+    )
+    return ",\n".join(parts) + f"\nSELECT * FROM ({rows})"
+
+
 def _labelprop_sql(iters: int, filt: str) -> str:
     parts = [
         f"WITH e AS ({_e_sql(filt)})",
@@ -235,6 +324,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.createDataFrame(rows, "pattern_edges long, cnt long")
 
     q["motif3_vertex_induced"] = q_motif3
+
+    def q_motif5(spark, sf_dir):
+        rel, _ = relabel_by_degree(_edges(spark, sf_dir, MOTIF5_FILTER))
+        rel = rel.localCheckpoint()
+        res = count_motifs(rel, 5, vertex_induced=True)
+        rows = [(i, int(p.num_true_edges), int(c)) for i, (p, c) in enumerate(res)]
+        return spark.createDataFrame(rows, "pattern_id long, pattern_edges long, cnt long")
+
+    q["motif5_vertex_induced"] = q_motif5
 
     def q_5clique_exists(spark, sf_dir):
         rel = _relabelled(spark, sf_dir)
@@ -479,6 +577,8 @@ w AS (SELECT count(*) AS c FROM sym e1 JOIN sym e2 ON e1.src = e2.src AND e1.dst
 SELECT CAST(2 AS BIGINT) AS pattern_edges, CAST(w.c - 3 * t.c AS BIGINT) AS cnt FROM w, t
 UNION ALL
 SELECT CAST(3 AS BIGINT), CAST(t.c AS BIGINT) FROM t"""
+
+    o["motif5_vertex_induced"] = _motif_oracle_sql(5, MOTIF5_FILTER)
 
     o["five_clique_existence"] = f"""WITH e AS MATERIALIZED ({e}), sym AS ({SYM_SQL}), {ORIENT_SQL},
 tri AS MATERIALIZED (

@@ -236,32 +236,102 @@ class PatternGenerator:
         g.add_edge(n, 1)
         return g
 
+    # in-process memo for the (expensive above size 6) enumerations
+    _all_cache: dict = {}
+
+    @staticmethod
+    def _trees(size: int) -> list[SmallGraph]:
+        """All trees on ``size`` vertices, one per isomorphism class: every
+        tree is a smaller tree plus a leaf, so grow recursively with
+        canonical dedup."""
+        from peregrine_spark.patterns.canonical import canonical_form
+
+        if size < 2:
+            raise ValueError("trees need >= 2 vertices (patterns need edges)")
+        if size == 2:
+            return [SmallGraph(edges=[(1, 2)])]
+        seen: dict = {}
+        for t in PatternGenerator._trees(size - 1):
+            for host in t.vertices:
+                h = t.copy().add_edge(host, size)
+                seen.setdefault(canonical_form(h), h)
+        return list(seen.values())
+
+    @staticmethod
+    def _connected(size: int) -> list[SmallGraph]:
+        """All connected unlabelled graphs on ``size`` vertices (A001349:
+        ..., 6, 21, 112, 853, 11117, 261080 for sizes 4..9), by orderly
+        levelwise generation: level m-1 -> level m by adding one edge
+        (complete: every connected graph with a cycle stays connected after
+        removing a cycle edge), seeded from the trees. The reference instead
+        ships nauty-generated g6 files (core/PatternGenerator.cc:477-548,
+        core/graphs/graph{3..9}c.g6); ours are self-generated — see
+        ``all_from_g6_file`` for loading nauty data directly."""
+        from peregrine_spark.patterns.canonical import canonical_form
+
+        current = {canonical_form(t): t for t in PatternGenerator._trees(size)}
+        out = dict(current)
+        max_edges = size * (size - 1) // 2
+        pairs = list(itertools.combinations(range(1, size + 1), 2))
+        for _m in range(size, max_edges + 1):
+            nxt: dict = {}
+            for g in current.values():
+                present = set(g.true_edges())
+                for u, v in pairs:
+                    if (u, v) not in present:
+                        h = g.copy().add_edge(u, v)
+                        cf = canonical_form(h)
+                        if cf not in nxt:
+                            nxt[cf] = h
+            out.update(nxt)
+            current = nxt
+        return list(out.values())
+
     @staticmethod
     def all(size: int, vertex_based: bool = True, anti_edges: bool = True) -> list[SmallGraph]:
         """All connected patterns with ``size`` vertices, one per isomorphism
-        class (core/PatternGenerator.cc:477-548 reads nauty g6 files; we
-        enumerate edge subsets directly — fine for size ≤ 6).
+        class (parity with core/PatternGenerator.cc:477-548, which reads
+        nauty g6 files graph{3..9}c.g6).
+
+        Sizes <= 6 enumerate edge subsets directly; sizes 7-9 first look for
+        a bundled self-generated g6 file (patterns/data/graph{n}c.g6), then
+        fall back to orderly levelwise generation (``_connected`` — exact,
+        but minutes at size 8 and hours at size 9; drop a nauty
+        graph9c.g6 into patterns/data/ to make size 9 instant).
 
         vertex_based + anti_edges: add anti-edges between all non-adjacent
         pairs (vertex-induced semantics). Otherwise edge-induced patterns.
         """
         from peregrine_spark.patterns.canonical import canonical_form
 
-        if size > 6:
-            raise ValueError("direct enumeration supported up to size 6")
-        pairs = list(itertools.combinations(range(1, size + 1), 2))
-        seen: dict = {}
-        for mask in range(1 << len(pairs)):
-            edges = [pairs[i] for i in range(len(pairs)) if mask >> i & 1]
-            if len(edges) < size - 1:
-                continue
-            g = SmallGraph(edges=edges)
-            if g.num_vertices != size or not g.is_connected():
-                continue
-            cf = canonical_form(g)
-            if cf not in seen:
-                seen[cf] = g
-        out = sorted(seen.values(), key=lambda g: (g.num_true_edges, canonical_form(g)))
+        if size > 9:
+            raise ValueError("patterns supported up to size 9 (reference parity)")
+        key = size
+        if key in PatternGenerator._all_cache:
+            base = PatternGenerator._all_cache[key]
+        elif size <= 6:
+            pairs = list(itertools.combinations(range(1, size + 1), 2))
+            seen: dict = {}
+            for mask in range(1 << len(pairs)):
+                edges = [pairs[i] for i in range(len(pairs)) if mask >> i & 1]
+                if len(edges) < size - 1:
+                    continue
+                g = SmallGraph(edges=edges)
+                if g.num_vertices != size or not g.is_connected():
+                    continue
+                cf = canonical_form(g)
+                if cf not in seen:
+                    seen[cf] = g
+            base = list(seen.values())
+            PatternGenerator._all_cache[key] = base
+        else:
+            data = Path(__file__).parent / "data" / f"graph{size}c.g6"
+            if data.exists():
+                base = PatternGenerator.all_from_g6_file(data)
+            else:
+                base = PatternGenerator._connected(size)
+            PatternGenerator._all_cache[key] = base
+        out = sorted(base, key=lambda g: (g.num_true_edges, canonical_form(g)))
         if vertex_based and anti_edges:
             out2 = []
             for g in out:
@@ -272,4 +342,69 @@ class PatternGenerator:
                         h.add_anti_edge(u, v)
                 out2.append(h)
             return out2
-        return out
+        return [g.copy() for g in out]
+
+    # -- graph6 format (public nauty format: McKay & Piperno, formats.txt) --
+
+    @staticmethod
+    def from_g6(line: str) -> SmallGraph:
+        """Parse one graph6 line: byte N+63 (N <= 62), then the upper
+        triangle x(0,1), x(0,2), x(1,2), x(0,3), ... packed big-endian into
+        6-bit groups, each + 63. Vertices come out 1-based."""
+        s = line.strip()
+        if not s:
+            raise ValueError("empty g6 line")
+        vals = [ord(c) - 63 for c in s]
+        if any(v < 0 or v > 63 for v in vals):
+            raise ValueError(f"bad g6 characters: {line!r}")
+        n = vals[0]
+        if n == 63:
+            raise ValueError("g6 graphs with >= 63 vertices not supported")
+        bits = []
+        for v in vals[1:]:
+            bits.extend((v >> (5 - i)) & 1 for i in range(6))
+        need = n * (n - 1) // 2
+        if len(bits) < need:
+            raise ValueError("truncated g6 line")
+        g = SmallGraph(num_vertices=n)
+        idx = 0
+        for j in range(1, n):
+            for i in range(j):
+                if bits[idx]:
+                    g.add_edge(i + 1, j + 1)
+                idx += 1
+        return g
+
+    @staticmethod
+    def to_g6(g: SmallGraph) -> str:
+        """Serialize to one graph6 line (vertices renumbered 1..n in sorted
+        order)."""
+        vs = g.vertices
+        n = len(vs)
+        if n > 62:
+            raise ValueError("g6 output supported up to 62 vertices")
+        pos = {v: i for i, v in enumerate(vs)}
+        present = {(pos[u], pos[v]) for u, v in g.true_edges()}
+        bits = []
+        for j in range(1, n):
+            for i in range(j):
+                bits.append(1 if (i, j) in present or (j, i) in present else 0)
+        while len(bits) % 6:
+            bits.append(0)
+        out = [chr(n + 63)]
+        for k in range(0, len(bits), 6):
+            val = 0
+            for b in bits[k : k + 6]:
+                val = (val << 1) | b
+            out.append(chr(val + 63))
+        return "".join(out)
+
+    @staticmethod
+    def all_from_g6_file(path: str | Path) -> list[SmallGraph]:
+        """Load patterns from a nauty graph6 file (one graph per line) —
+        the reference's pattern source (core/showg.cc:706-738)."""
+        return [
+            PatternGenerator.from_g6(line)
+            for line in Path(path).read_text().splitlines()
+            if line.strip()
+        ]

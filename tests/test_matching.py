@@ -141,3 +141,14 @@ def test_match_columns(spark):
     assert len(rows) == 4  # C(4,3)
     for a, b, c in rows:
         assert a < b < c
+
+
+def test_motif5_vertex_induced_vs_brute(spark):
+    """All 21 vertex-induced 5-motif counts vs the exhaustive oracle — the
+    full convert_counts triangular solve at size 5."""
+    pairs = er_graph(9, 0.45, 3)
+    e = edges_df(spark, pairs)
+    res = count_motifs(e, 5, vertex_induced=True)
+    assert len(res) == 21
+    for p, c in res:
+        assert c == brute_count(pairs, p), p.to_string()

@@ -129,3 +129,39 @@ def test_anti_vertex_classification():
     g = SmallGraph(edges=[(1, 2)], anti_edges=[(1, 3), (2, 3)])
     assert g.anti_vertices() == [3]
     assert g.has_anti_edges()
+
+
+# -- sizes 7-9 / g6 (reference parity: core/PatternGenerator.cc:477-548) ----
+
+
+def test_connected_enumeration_matches_direct():
+    """Incremental (trees + edge levels) agrees with direct edge-subset
+    enumeration where both work (A001349: 21 at size 5, 112 at size 6)."""
+    for size, expect in [(5, 21), (6, 112)]:
+        inc = PatternGenerator._connected(size)
+        assert len(inc) == expect
+        direct = PatternGenerator.all(size, vertex_based=False)
+        assert {canonical_form(g) for g in inc} == {canonical_form(g) for g in direct}
+
+
+def test_all_size7():
+    pats = PatternGenerator.all(7, vertex_based=False)
+    assert len(pats) == 853  # A001349
+    assert all(p.num_vertices == 7 and p.is_connected() for p in pats[:20])
+    # vertex-based variant completes the complement with anti-edges
+    vb = PatternGenerator.all(7, vertex_based=True, anti_edges=True)
+    g = vb[0]
+    assert g.num_true_edges + len(g.anti_edge_list()) == 21
+
+
+def test_all_size8_bundled_file():
+    pats = PatternGenerator.all(8, vertex_based=False)
+    assert len(pats) == 11117  # A001349
+    # no duplicates under canonical form (spot check the dedup invariant)
+    sample = pats[::500]
+    assert len({canonical_form(g) for g in sample}) == len(sample)
+
+
+def test_g6_roundtrip():
+    for g in PatternGenerator._connected(5):
+        assert canonical_form(PatternGenerator.from_g6(PatternGenerator.to_g6(g))) == canonical_form(g)
