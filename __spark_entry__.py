@@ -40,7 +40,7 @@ from peregrine_spark.multimodal.assets import (
 from peregrine_spark.operators.fsm import fsm, mni_support
 from peregrine_spark.operators.match import count_motifs, existence
 from peregrine_spark.operators.triangles import triangle_count
-from peregrine_spark.patterns.small_graph import PatternGenerator
+from peregrine_spark.patterns.small_graph import PatternGenerator, SmallGraph
 from peregrine_spark.plans.compiler import compile_match
 from peregrine_spark.graph.build import symmetrized
 from peregrine_spark.similarity.ann import cosine_topk, cosine_topk_lsh
@@ -73,6 +73,7 @@ from peregrine_spark.streaming.windows import (
 
 CC_FILTER = "l_quantity <= 3"  # sparser subgraph -> many components
 MOTIF5_FILTER = "l_quantity <= 8"  # ~2.5k edges, max degree ~10: 5-motifs tractable
+FSM3_SUPPORT = 50  # prunes ~1/3 of labelled wedges; triangles all infrequent
 
 
 def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,6 +248,51 @@ def _motif_oracle_sql(size: int, filt: str) -> str:
     return ",\n".join(parts) + f"\nSELECT * FROM ({rows})"
 
 
+def _fsm3_oracle_sql(filt: str, support: int) -> str:
+    """MNI supports of every labelled pattern with <= 3 vertices (edge /
+    wedge / triangle, labels = v % 5) at threshold ``support`` — closed-form
+    per shape, independent of the engine's matcher AND of its level-wise
+    search (anti-monotonicity guarantees the searches coincide)."""
+    return f"""WITH e AS MATERIALIZED ({_e_sql(filt)}),
+sym AS ({SYM_SQL}),
+lab AS (SELECT DISTINCT src AS v, src % 5 AS label FROM sym),
+el AS (SELECT least(la.label, lb.label) AS l1, greatest(la.label, lb.label) AS l2,
+              CASE WHEN la.label <= lb.label THEN e.src ELSE e.dst END AS va,
+              CASE WHEN la.label <= lb.label THEN e.dst ELSE e.src END AS vb
+       FROM e JOIN lab la ON la.v = e.src JOIN lab lb ON lb.v = e.dst),
+eagg AS (SELECT l1, l2, count(DISTINCT va) AS ca, count(DISTINCT vb) AS cb FROM el GROUP BY 1,2),
+euni AS (SELECT l1, l2, count(DISTINCT x) AS cu FROM (SELECT l1, l2, unnest([va, vb]) AS x FROM el) GROUP BY 1,2),
+esup AS (SELECT 'edge' AS shape, eagg.l1, eagg.l2, CAST(-1 AS BIGINT) AS l3,
+                CAST(CASE WHEN eagg.l1 = eagg.l2 THEN euni.cu ELSE least(eagg.ca, eagg.cb) END AS BIGINT) AS support
+         FROM eagg JOIN euni ON eagg.l1 = euni.l1 AND eagg.l2 = euni.l2),
+w AS (SELECT s1.src AS c, s1.dst AS a, s2.dst AS b
+      FROM sym s1 JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst),
+wcanon AS (SELECT lc.label AS lc, least(la.label, lb.label) AS l2, greatest(la.label, lb.label) AS l3,
+                  w.c, CASE WHEN la.label <= lb.label THEN w.a ELSE w.b END AS va,
+                  CASE WHEN la.label <= lb.label THEN w.b ELSE w.a END AS vb
+           FROM w JOIN lab lc ON lc.v = w.c JOIN lab la ON la.v = w.a JOIN lab lb ON lb.v = w.b),
+wagg AS (SELECT lc, l2, l3, count(DISTINCT c) AS cc, count(DISTINCT va) AS ca, count(DISTINCT vb) AS cb FROM wcanon GROUP BY 1,2,3),
+wuni AS (SELECT lc, l2, l3, count(DISTINCT x) AS cu FROM (SELECT lc, l2, l3, unnest([va, vb]) AS x FROM wcanon) GROUP BY 1,2,3),
+wsup AS (SELECT 'wedge' AS shape, wagg.lc AS l1, wagg.l2, CAST(wagg.l3 AS BIGINT) AS l3,
+                CAST(CASE WHEN wagg.l2 = wagg.l3 THEN least(wagg.cc, wuni.cu) ELSE least(wagg.cc, wagg.ca, wagg.cb) END AS BIGINT) AS support
+         FROM wagg JOIN wuni ON wagg.lc = wuni.lc AND wagg.l2 = wuni.l2 AND wagg.l3 = wuni.l3),
+tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        FROM e e1 JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
+        JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+tk AS (SELECT lx.label AS lx, ly.label AS ly, lz.label AS lz, x, y, z,
+              least(lx.label, ly.label, lz.label) AS l1,
+              greatest(lx.label, ly.label, lz.label) AS l3
+       FROM tri JOIN lab lx ON lx.v = x JOIN lab ly ON ly.v = y JOIN lab lz ON lz.v = z),
+texp AS (SELECT l1, lx + ly + lz - l1 - l3 AS l2, l3, lx AS lbl, x AS v FROM tk
+         UNION ALL SELECT l1, lx + ly + lz - l1 - l3, l3, ly, y FROM tk
+         UNION ALL SELECT l1, lx + ly + lz - l1 - l3, l3, lz, z FROM tk),
+tdom AS (SELECT l1, l2, l3, lbl, count(DISTINCT v) AS d FROM texp GROUP BY l1, l2, l3, lbl),
+tsup AS (SELECT 'triangle' AS shape, l1, l2, CAST(l3 AS BIGINT) AS l3, CAST(min(d) AS BIGINT) AS support FROM tdom GROUP BY l1, l2, l3)
+SELECT shape, CAST(l1 AS BIGINT) AS l1, CAST(l2 AS BIGINT) AS l2, l3, support
+FROM (SELECT * FROM esup UNION ALL SELECT * FROM wsup UNION ALL SELECT * FROM tsup)
+WHERE support >= {support}"""
+
+
 def _labelprop_sql(iters: int, filt: str) -> str:
     parts = [
         f"WITH e AS ({_e_sql(filt)})",
@@ -334,6 +380,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["motif5_vertex_induced"] = q_motif5
 
+    def q_induced_wedge(spark, sf_dir):
+        # wedge with an anti-edge between the leaves -> LEFT ANTI join
+        # against the edge table (M4); equals wedges - 3*triangles
+        rel = _relabelled(spark, sf_dir)
+        p = SmallGraph(edges=[(1, 2), (1, 3)], anti_edges=[(2, 3)])
+        m = compile_match(symmetrized(rel), p).df
+        return m.agg(F.count(F.lit(1)).cast("long").alias("induced_wedges"))
+
+    q["induced_wedge_count"] = q_induced_wedge
+
+    def q_isolated_edges(spark, sf_dir):
+        # edge with an anti-VERTEX adjacent to both endpoints (M9): count of
+        # edges that are in no triangle (no common neighbour)
+        rel = _relabelled(spark, sf_dir)
+        p = SmallGraph(edges=[(1, 2)], anti_edges=[(1, 3), (2, 3)])
+        m = compile_match(symmetrized(rel), p).df
+        return m.agg(F.count(F.lit(1)).cast("long").alias("non_triangle_edges"))
+
+    q["isolated_edge_count"] = q_isolated_edges
+
     def q_5clique_exists(spark, sf_dir):
         rel = _relabelled(spark, sf_dir)
         return _one_row(
@@ -365,6 +431,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.createDataFrame(rows, "la long, lb long, support long")
 
     q["fsm_labelled_edges"] = q_fsm_edges
+
+    def q_fsm3(spark, sf_dir):
+        edges = _edges(spark, sf_dir, MOTIF5_FILTER)
+        verts = (
+            symmetrized(edges)
+            .select(F.col("src").alias("v"))
+            .distinct()
+            .select("v", (F.col("v") % 5).alias("label"))
+        )
+        res = fsm(edges, verts, support=FSM3_SUPPORT, max_vertices=3)
+        rows = []
+        for g, s in res:
+            vs = g.vertices
+            labs = [int(g.labels[v]) for v in vs]
+            if g.num_vertices == 2:
+                la, lb = sorted(labs)
+                rows.append(("edge", la, lb, -1, int(s)))
+            elif g.num_true_edges == 2:
+                centre = next(v for v in vs if len(g.adj[v]) == 2)
+                leaves = sorted(int(g.labels[v]) for v in vs if v != centre)
+                rows.append(("wedge", int(g.labels[centre]), leaves[0], leaves[1], int(s)))
+            else:
+                l1, l2, l3 = sorted(labs)
+                rows.append(("triangle", l1, l2, l3, int(s)))
+        rows.sort()
+        return spark.createDataFrame(
+            rows, "shape string, l1 long, l2 long, l3 long, support long"
+        )
+
+    q["fsm_size3"] = q_fsm3
 
     # -- degree / ingest tier ----------------------------------------------
     def q_deg_hist(spark, sf_dir):
@@ -579,6 +675,21 @@ UNION ALL
 SELECT CAST(3 AS BIGINT), CAST(t.c AS BIGINT) FROM t"""
 
     o["motif5_vertex_induced"] = _motif_oracle_sql(5, MOTIF5_FILTER)
+
+    o["fsm_size3"] = _fsm3_oracle_sql(MOTIF5_FILTER, FSM3_SUPPORT)
+
+    o["induced_wedge_count"] = f"""WITH e AS MATERIALIZED ({e}), sym AS ({SYM_SQL}),
+t AS (SELECT count(*) AS c FROM e e1
+      JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
+      JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+w AS (SELECT count(*) AS c FROM sym e1 JOIN sym e2 ON e1.src = e2.src AND e1.dst < e2.dst)
+SELECT CAST(w.c - 3 * t.c AS BIGINT) AS induced_wedges FROM w, t"""
+
+    o["isolated_edge_count"] = f"""WITH e AS MATERIALIZED ({e}), sym AS ({SYM_SQL})
+SELECT CAST(count(*) AS BIGINT) AS non_triangle_edges
+FROM e WHERE NOT EXISTS (
+  SELECT 1 FROM sym s1 JOIN sym s2 ON s1.dst = s2.dst
+  WHERE s1.src = e.src AND s2.src = e.dst)"""
 
     o["five_clique_existence"] = f"""WITH e AS MATERIALIZED ({e}), sym AS ({SYM_SQL}), {ORIENT_SQL},
 tri AS MATERIALIZED (

@@ -9,12 +9,22 @@ extend the frequent ones by an edge/vertex (core/PatternGenerator.cc:79-475)
 Spark-native HOW:
 * matching is the pattern→join compiler (plans/compiler.py);
 * MNI support = min over automorphism orbits of the count of distinct data
-  vertices appearing in that orbit's match columns — ``explode`` the orbit
-  columns into one and ``countDistinct`` (exact distinct, like the
-  reference's Roaring bitmaps; Spark's partial aggregation plays the role
-  of the per-thread bitmap merge);
+  vertices appearing in that orbit's match columns — ONE job: explode every
+  (orbit, position) pair and aggregate ``count_distinct`` per orbit (exact
+  distinct, like the reference's Roaring bitmaps; Spark's partial
+  aggregation plays the role of the per-thread bitmap merge);
+* label discovery follows the reference's partially-labelled design
+  (core/PatternGenerator.cc:79-475 emits ONE −1 variant per growth;
+  core/Peregrine.hh:1038-1199 aggregates it with the vector aggregator):
+  each growth adds explicit variants only for labels the pattern already
+  carries, plus a single wildcard (−1) variant whose one matching pass
+  yields per-discovered-label supports for every OTHER label at once —
+  at scale this collapses |labels| match jobs into one;
+* a level's candidates are evaluated concurrently (threads share the
+  SparkContext, so independent match+support jobs overlap instead of
+  serializing on the driver);
 * extension + canonical dedup are driver-side pure Python (patterns are
-  <= ~5 vertices — tiny).
+  tiny).
 
 MNI is anti-monotone, so threshold pruning between levels is sound.
 """
@@ -22,6 +32,7 @@ MNI is anti-monotone, so threshold pruning between levels is sound.
 from __future__ import annotations
 
 import itertools
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -33,54 +44,119 @@ from peregrine_spark.patterns.small_graph import SmallGraph
 from peregrine_spark.plans.compiler import compile_match
 
 
+def _true_orbits(pattern: SmallGraph) -> list[list[int]]:
+    true_vs = {v for v in pattern.vertices if pattern.adj.get(v)}
+    return [o for o in automorphism_sets(pattern) if set(o) <= true_vs]
+
+
+def _orbit_stack(matches: DataFrame, orbits: list[list[int]]) -> DataFrame:
+    """Explode the match table into (o, x) rows — one per (orbit id,
+    position column) pair — in a single pass."""
+    entries = [
+        F.struct(F.lit(i).alias("o"), F.col(f"v{p}").alias("x"))
+        for i, orbit in enumerate(orbits)
+        for p in orbit
+    ]
+    return matches.select(F.explode(F.array(*entries)).alias("e")).select(
+        F.col("e.o").alias("o"), F.col("e.x").alias("x")
+    )
+
+
 def mni_support(matches: DataFrame, pattern: SmallGraph) -> int:
     """Minimum node image support of a match table (columns v<p>).
 
     Domain of an automorphism orbit = distinct data vertices occurring in
     any of the orbit's positions (symmetry-broken matches still cover the
     full domain because orbit positions are interchangeable); support = min
-    over orbits. One Spark job per orbit (orbits <= pattern size).
-    """
-    true_vs = {v for v in pattern.vertices if pattern.adj.get(v)}
-    orbits = [o for o in automorphism_sets(pattern) if set(o) <= true_vs]
-    support = None
-    multi = len(orbits) > 1
-    if multi:
-        matches = matches.persist()  # one materialization, one agg per orbit
-    try:
-        for orbit in orbits:
-            stacked = matches.select(
-                F.explode(F.array(*[F.col(f"v{p}") for p in orbit])).alias("x")
-            )
-            n = stacked.agg(F.count_distinct("x").alias("n")).collect()[0]["n"]
-            support = n if support is None else min(support, n)
-    finally:
-        if multi:
-            matches.unpersist()
-    return int(support or 0)
+    over orbits. ONE Spark job regardless of orbit count."""
+    orbits = _true_orbits(pattern)
+    if not orbits:
+        return 0
+    row = (
+        _orbit_stack(matches, orbits)
+        .groupBy("o")
+        .agg(F.count_distinct("x").alias("n"))
+        .agg(F.min("n").alias("s"), F.count(F.lit(1)).alias("k"))
+        .collect()[0]
+    )
+    # an orbit absent from the agg means zero matches → support 0
+    if row["k"] < len(orbits) or row["s"] is None:
+        return 0
+    return int(row["s"])
+
+
+def mni_support_by_label(
+    matches: DataFrame,
+    pattern: SmallGraph,
+    wildcard: int,
+    vertices: DataFrame,
+) -> dict[int, int]:
+    """Per-discovered-label MNI supports of a partially-labelled pattern in
+    ONE aggregation pass — the Spark form of the reference's vector
+    aggregator (core/Peregrine.hh:1038-1199): group the orbit-exploded match
+    table by the label the wildcard vertex matched, then min over orbits.
+
+    Valid because instantiating the wildcard with any concrete label outside
+    the pattern's known set leaves the automorphism orbits unchanged (the
+    wildcard is already a distinct colour)."""
+    orbits = _true_orbits(pattern)
+    if not orbits:
+        return {}
+    wl = vertices.select(
+        F.col("v").alias(f"v{wildcard}"), F.col("label").alias("_wl")
+    )
+    m = matches.join(wl, f"v{wildcard}")
+    entries = [
+        F.struct(F.lit(i).alias("o"), F.col(f"v{p}").alias("x"))
+        for i, orbit in enumerate(orbits)
+        for p in orbit
+    ]
+    stacked = m.select(
+        "_wl", F.explode(F.array(*entries)).alias("e")
+    ).select("_wl", F.col("e.o").alias("o"), F.col("e.x").alias("x"))
+    rows = (
+        stacked.groupBy("_wl", "o")
+        .agg(F.count_distinct("x").alias("n"))
+        .groupBy("_wl")
+        .agg(F.min("n").alias("s"), F.count(F.lit(1)).alias("k"))
+        .collect()
+    )
+    return {
+        int(r["_wl"]): int(r["s"]) for r in rows if r["k"] == len(orbits)
+    }
 
 
 def extend_patterns(
-    frequent: list[SmallGraph], labels: list[int]
+    frequent: list[SmallGraph],
+    labels: list[int] | None = None,
+    partially_labelled: bool = False,
 ) -> list[SmallGraph]:
     """Candidate generation: each frequent pattern grown by (a) one new
     labelled vertex attached to one existing vertex, or (b) one edge closing
     a non-adjacent pair. Canonical-form dedup across all candidates
-    (reference: core/PatternGenerator.cc:79-475 with dedup :457-472)."""
+    (reference: core/PatternGenerator.cc:79-475 with dedup :457-472).
+
+    ``partially_labelled=True`` (the reference's design) labels the grown
+    vertex with each label the pattern already carries PLUS one −1 wildcard
+    variant per growth — label discovery happens at match time. Otherwise
+    the grown vertex takes every label in ``labels`` explicitly."""
     seen: dict = {}
     for g in frequent:
         nv = max(g.vertices) + 1
+        if partially_labelled:
+            own = sorted({l for l in g.labels.values() if l != -1})
+            grow_labels = own + [-1]
+        else:
+            grow_labels = list(labels or [])
         for host in g.vertices:
-            for lab in labels:
+            for lab in grow_labels:
                 h = g.copy().add_edge(host, nv).set_label(nv, lab)
-                cf = canonical_form(h)
-                seen.setdefault(cf, h)
+                seen.setdefault(canonical_form(h), h)
         present = {tuple(e) for e in g.true_edges()}
         for u, v in itertools.combinations(g.vertices, 2):
             if (min(u, v), max(u, v)) not in present:
                 h = g.copy().add_edge(u, v)
-                cf = canonical_form(h)
-                seen.setdefault(cf, h)
+                seen.setdefault(canonical_form(h), h)
     return list(seen.values())
 
 
@@ -89,13 +165,20 @@ def fsm(
     vertices: DataFrame,
     support: int,
     max_vertices: int = 3,
+    discover: bool = True,
+    max_workers: int = 8,
 ) -> list[tuple[SmallGraph, int]]:
     """Mine labelled patterns with MNI support >= ``support`` up to
-    ``max_vertices`` pattern vertices.
+    ``max_vertices`` pattern vertices. Returns fully-labelled patterns only.
 
     vertices: (v, label). Seeds are the distinct label pairs of actual
     edges (the DISCOVER_LABELS step, core/Peregrine.hh:552-568) — computed
     with one join+distinct instead of a discovery matching pass.
+
+    ``discover=True``: candidate growth uses the partially-labelled (−1)
+    variant + per-label vector aggregation (one match job covers all labels
+    outside the pattern's own set). ``discover=False`` enumerates every
+    observed label explicitly (one job each) — kept as the cross-check path.
     """
     sym = symmetrized(edges)
     lab = vertices.select("v", "label")
@@ -108,8 +191,7 @@ def fsm(
         .distinct()
         .collect()
     )
-    labels = sorted({r["la"] for r in seed_pairs} | {r["lb"] for r in seed_pairs})
-    candidates = []
+    all_labels = sorted({r["la"] for r in seed_pairs} | {r["lb"] for r in seed_pairs})
     seen: dict = {}
     for r in seed_pairs:
         g = SmallGraph(edges=[(1, 2)]).set_label(1, int(r["la"])).set_label(2, int(r["lb"]))
@@ -117,22 +199,44 @@ def fsm(
     candidates = list(seen.values())
 
     results: list[tuple[SmallGraph, int]] = []
+    result_cfs: set = set()
     attempted = {canonical_form(g) for g in candidates}
+
+    def eval_candidate(g: SmallGraph) -> list[tuple[SmallGraph, int]]:
+        wildcards = [v for v, l in g.labels.items() if l == -1]
+        m = compile_match(sym, g, vertices=lab).df
+        if wildcards:
+            per = mni_support_by_label(m, g, wildcards[0], lab)
+            out = []
+            for lab_val, s in sorted(per.items()):
+                if s >= support:
+                    out.append((g.copy().set_label(wildcards[0], lab_val), s))
+            return out
+        s = mni_support(m, g)
+        return [(g, s)] if s >= support else []
+
     while candidates:
-        frequent: list[SmallGraph] = []
-        for g in candidates:
-            m = compile_match(sym, g, vertices=lab).df
-            s = mni_support(m, g)
-            if s >= support:
-                frequent.append(g)
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            found = [t for lst in ex.map(eval_candidate, candidates) for t in lst]
+        new_frequent: list[SmallGraph] = []
+        for g, s in found:
+            cf = canonical_form(g)
+            if cf not in result_cfs:
+                result_cfs.add(cf)
                 results.append((g, s))
-        if not frequent:
+                new_frequent.append(g)
+        if not new_frequent:
             break
         # extend frequent patterns: a new labelled vertex (vertex growth) or
         # a closing edge (same vertex count) — loop ends when nothing new
         # fits under max_vertices (edge closures are finitely many)
         nxt = []
-        for h in extend_patterns(frequent, labels):
+        grown = extend_patterns(
+            new_frequent,
+            labels=None if discover else all_labels,
+            partially_labelled=discover,
+        )
+        for h in grown:
             cf = canonical_form(h)
             if h.num_vertices <= max_vertices and cf not in attempted:
                 attempted.add(cf)

@@ -116,3 +116,52 @@ def test_relabel_default_is_scale_safe(spark):
     _, mapping_w = relabel_by_degree(e, use_window=True)
     plan_w = mapping_w._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" in plan_w
+
+
+def test_fsm_discover_matches_explicit(spark):
+    """Partially-labelled (-1) discovery (reference parity,
+    core/PatternGenerator.cc:79-475) finds exactly the same frequent
+    patterns and supports as explicit per-label enumeration."""
+    from peregrine_spark.patterns.canonical import canonical_form
+    from tests.oracle import er_graph
+
+    pairs = er_graph(14, 0.3, 5)
+    e = edges_df(spark, pairs)
+    verts = spark.createDataFrame(
+        [(v, v % 3) for v in sorted({x for p in pairs for x in p})],
+        "v long, label long",
+    )
+    r_disc = fsm(e, verts, support=3, max_vertices=3, discover=True)
+    r_expl = fsm(e, verts, support=3, max_vertices=3, discover=False)
+    d1 = {canonical_form(g): s for g, s in r_disc}
+    d2 = {canonical_form(g): s for g, s in r_expl}
+    assert d1 == d2 and len(d1) > 3
+
+
+def test_mni_support_by_label_matches_explicit(spark):
+    """One-pass vector aggregation over the wildcard == per-label explicit
+    matching (the reference's VectorAggregator semantics)."""
+    from peregrine_spark.operators.fsm import mni_support_by_label
+    from tests.oracle import er_graph
+
+    pairs = er_graph(12, 0.4, 7)
+    e = edges_df(spark, pairs)
+    verts = spark.createDataFrame(
+        [(v, v % 3) for v in sorted({x for p in pairs for x in p})],
+        "v long, label long",
+    )
+    wedge_pl = SmallGraph(edges=[(1, 2), (1, 3)]).set_label(1, 0).set_label(2, 1).set_label(3, -1)
+    m = compile_match(symmetrized(e), wedge_pl, vertices=verts).df
+    per = mni_support_by_label(m, wedge_pl, 3, verts)
+    assert set(per) == {2}  # only label 2 is outside the known set {0, 1}
+    explicit = SmallGraph(edges=[(1, 2), (1, 3)]).set_label(1, 0).set_label(2, 1).set_label(3, 2)
+    me = compile_match(symmetrized(e), explicit, vertices=verts).df
+    assert per[2] == mni_support(me, explicit)
+
+
+def test_anti_edge_compiles_to_left_anti_join(spark):
+    e = edges_df(spark, [(1, 2), (1, 3), (2, 3), (1, 4)])
+    p = SmallGraph(edges=[(1, 2), (1, 3)], anti_edges=[(2, 3)])
+    m = compile_match(symmetrized(e), p).df
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
