@@ -126,6 +126,50 @@ def mni_support_by_label(
     }
 
 
+def support_at_least(
+    edges: DataFrame,
+    pattern: SmallGraph,
+    threshold: int,
+    vertices: DataFrame | None = None,
+) -> bool:
+    """Early-terminating MNI threshold test — the Spark analogue of the
+    reference's mid-aggregation ``handle.stop()`` (core/Barrier.hh:61-70,
+    aggregators/Aggregator.hh:179-191): answer "is support >= T" without
+    paying for the full count.
+
+    Two stop levers:
+    * a pre-probe ``take(ceil(T / max_orbit))`` on the raw match stream —
+      CollectLimit executes incrementally (1 partition, then 4x more, ...),
+      so an infrequent pattern bails after a fraction of the scan;
+    * per-orbit ``distinct().take(T)`` — the limit truncates the distinct
+      stream at T values instead of aggregating the whole domain, and the
+      orbit loop exits on the first orbit below T (min is what matters).
+    """
+    import math
+
+    orbits = _true_orbits(pattern)
+    if threshold <= 0:
+        return True
+    if not orbits:
+        return False
+    sym = symmetrized(edges)
+    m = compile_match(sym, pattern, vertices=vertices).df
+    need = math.ceil(threshold / max(len(o) for o in orbits))
+    if len(m.limit(need).take(need)) < need:
+        return False
+    m = m.persist()
+    try:
+        for orbit in orbits:
+            dom = m.select(
+                F.explode(F.array(*[F.col(f"v{p}") for p in orbit])).alias("x")
+            ).distinct()
+            if len(dom.take(threshold)) < threshold:
+                return False
+        return True
+    finally:
+        m.unpersist()
+
+
 def extend_patterns(
     frequent: list[SmallGraph],
     labels: list[int] | None = None,

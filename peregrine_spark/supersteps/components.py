@@ -6,10 +6,15 @@ exact). The min-propagation converges in O(diameter) supersteps; the
 groupBy(dst).min shuffle is partial-aggregated map-side, so hub fan-in is
 absorbed before the shuffle.
 
-For graphs with extreme diameters a large-star/small-star contraction
-(Kiveris et al., "Connected Components in MapReduce") halves round count;
-diameter of code-import graphs is small, so min-propagation is the right
-default — noted as the scale-path alternative.
+Two strategies:
+
+* ``minprop`` (default) — converges in O(diameter) supersteps; right for
+  code-import graphs (small diameter), cheapest per round.
+* ``contraction`` — the alternating large-star/small-star algorithm
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14): O(log^2 n) rounds regardless of diameter, the scale path for
+  high-diameter graphs (long dependency chains). Each round is two
+  groupBy(min) + join passes over a shrinking edge set.
 """
 
 from __future__ import annotations
@@ -27,13 +32,22 @@ def connected_components(
     engine: SuperstepEngine | None = None,
     resume: bool = False,
     check_every: int = 1,
+    strategy: str = "minprop",
 ) -> SuperstepResult:
     """State: (v, comp). Converged when changed-row count hits 0.
 
     check_every: the changed-row count (a second pass over the state) runs
     every k-th superstep; min-propagation is idempotent at fixpoint, so the
     up-to-k-1 extra supersteps are safe — at scale the saved pass dominates.
+
+    strategy: ``minprop`` (O(diameter) rounds) or ``contraction``
+    (large-star/small-star, O(log^2 n) rounds — use for high-diameter
+    graphs). Both return identical (v, comp) with comp = component min.
     """
+    if strategy == "contraction":
+        return _cc_contraction(edges, max_iters, engine, resume)
+    if strategy != "minprop":
+        raise ValueError(f"unknown strategy {strategy!r}")
     spark = edges.sparkSession
     sym = symmetrized(edges)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -73,3 +87,84 @@ def connected_components(
         cache_box.pop().unpersist()
     sym.unpersist()
     return res
+
+
+def _large_star(E: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbour to the minimum of the
+    neighbourhood (incl. self): for each u, m = min(N(u) ∪ {u}); emit
+    (v, m) for v ∈ N(u), v > u. Output edges all point high→low."""
+    sym = E.union(E.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mn = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+    mn = mn.select("src", F.least("_mn", F.col("src")).alias("_m"))
+    return (
+        sym.join(mn, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .dropDuplicates()
+    )
+
+
+def _small_star(E: DataFrame) -> DataFrame:
+    """Input edges all (src > dst). For each src, m = min of its (smaller)
+    neighbours; re-point src and every other small neighbour at m."""
+    mn = E.groupBy("src").agg(F.min("dst").alias("_m"))
+    repointed = (
+        E.join(mn, "src")
+        .where(F.col("dst") != F.col("_m"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+    )
+    own = mn.select("src", F.col("_m").alias("dst"))
+    return repointed.union(own).where(F.col("src") != F.col("dst")).dropDuplicates()
+
+
+def _cc_contraction(
+    edges: DataFrame,
+    max_iters: int,
+    engine: SuperstepEngine | None,
+    resume: bool,
+) -> SuperstepResult:
+    """Alternating large-star/small-star contraction. State per superstep is
+    the shrinking edge set; convergence = edge set unchanged across a full
+    (large, small) round, detected by (count, order-insensitive xor-hash).
+    At the fixpoint the edges form stars (v -> component min)."""
+    spark = edges.sparkSession
+    engine = engine or SuperstepEngine(spark)
+    verts = (
+        symmetrized(edges).select(F.col("src").alias("v")).distinct().localCheckpoint()
+    )
+    E0 = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).dropDuplicates()
+
+    prev_sig: list = [None]
+    cache_box: list[DataFrame] = []
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, float]:
+        while cache_box:
+            cache_box.pop().unpersist()
+        new = _small_star(_large_star(state)).persist()
+        cache_box.append(new)  # released at the next step (after the engine
+        # has localCheckpointed the returned state off this cache)
+        row = new.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+        ).collect()[0]
+        sig = (row["c"], row["h"])
+        delta = 0.0 if sig == prev_sig[0] else 1.0
+        prev_sig[0] = sig
+        return new.select("src", "dst"), delta
+
+    res = engine.run(E0, step, max_iters=max_iters, tol=0.0, resume=resume)
+    while cache_box:
+        cache_box.pop().unpersist()
+    E = res.state  # star edges (v, root)
+    state = (
+        verts.join(E, verts["v"] == E["src"], "left")
+        .select("v", F.coalesce(E["dst"], verts["v"]).alias("comp"))
+    )
+    return SuperstepResult(
+        state=state,
+        iterations=res.iterations,
+        converged=res.converged,
+        metrics=res.metrics,
+    )

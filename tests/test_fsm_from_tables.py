@@ -165,3 +165,27 @@ def test_anti_edge_compiles_to_left_anti_join(spark):
     m = compile_match(symmetrized(e), p).df
     plan = m._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan
+
+
+def test_support_at_least_matches_full_count(spark):
+    from peregrine_spark.operators.fsm import support_at_least
+    from tests.oracle import er_graph
+
+    pairs = er_graph(14, 0.3, 9)
+    e = edges_df(spark, pairs)
+    wedge = PatternGenerator.star(3)
+    m = compile_match(symmetrized(e), wedge).df
+    full = mni_support(m, wedge)
+    assert full > 2
+    for t in [1, full - 1, full, full + 1, full * 10]:
+        assert support_at_least(e, wedge, t) == (full >= t), t
+
+
+def test_support_at_least_early_terminates(spark):
+    """The threshold probe must not aggregate the whole domain: its plan
+    carries a limit (CollectLimit incremental execution) — the stop()
+    analogue — and an absurd threshold bails on the cheap pre-probe."""
+    from peregrine_spark.operators.fsm import support_at_least
+
+    e = edges_df(spark, [(i, i + 1) for i in range(1, 30)])
+    assert support_at_least(e, PatternGenerator.star(3), 10**9) is False

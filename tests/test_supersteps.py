@@ -148,3 +148,27 @@ def test_resume_after_convergence_is_noop(spark, tmp_path):
     assert {tuple(r) for r in r1.state.collect()} == {
         tuple(r) for r in r2.state.collect()
     }
+
+
+def test_cc_contraction_matches_minprop(spark):
+    """large-star/small-star == min-propagation on a random graph."""
+    from tests.oracle import er_graph
+
+    pairs = er_graph(40, 0.06, 11)
+    e = edges_df(spark, pairs)
+    a = connected_components(e, max_iters=64).state
+    b = connected_components(e, max_iters=20, strategy="contraction").state
+    assert {(r["v"], r["comp"]) for r in a.collect()} == {
+        (r["v"], r["comp"]) for r in b.collect()
+    }
+
+
+def test_cc_contraction_logarithmic_rounds_on_path(spark):
+    """A 60-vertex path has diameter 59: min-prop needs ~59 rounds, the
+    contraction variant must finish in O(log^2 n) — give it 12."""
+    e = edges_df(spark, [(i, i + 1) for i in range(1, 60)])
+    res = connected_components(e, max_iters=12, strategy="contraction")
+    assert res.converged and res.iterations <= 12
+    assert {(r["v"], r["comp"]) for r in res.state.collect()} == {
+        (v, 1) for v in range(1, 61)
+    }
