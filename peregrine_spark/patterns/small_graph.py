@@ -202,6 +202,23 @@ class SmallGraph:
         return hash(canonical_form(self))
 
 
+def _bundled_g6_text(size: int) -> str | None:
+    """Bundled graph{size}c.g6 content, or None. importlib.resources first
+    (works when the package ships as a spark-submit --py-files zip), plain
+    path as fallback."""
+    name = f"graph{size}c.g6"
+    try:
+        from importlib import resources
+
+        ref = resources.files("peregrine_spark.patterns").joinpath("data", name)
+        if ref.is_file():
+            return ref.read_text()
+    except Exception:
+        pass
+    p = Path(__file__).parent / "data" / name
+    return p.read_text() if p.exists() else None
+
+
 class PatternGenerator:
     """Pattern builders — parity with core/PatternGenerator.cc."""
 
@@ -325,9 +342,13 @@ class PatternGenerator:
             base = list(seen.values())
             PatternGenerator._all_cache[key] = base
         else:
-            data = Path(__file__).parent / "data" / f"graph{size}c.g6"
-            if data.exists():
-                base = PatternGenerator.all_from_g6_file(data)
+            text = _bundled_g6_text(size)
+            if text is not None:
+                base = [
+                    PatternGenerator.from_g6(line)
+                    for line in text.splitlines()
+                    if line.strip()
+                ]
             else:
                 base = PatternGenerator._connected(size)
             PatternGenerator._all_cache[key] = base

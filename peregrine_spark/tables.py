@@ -139,3 +139,39 @@ def source_repo_table(
 def with_sha256(df: DataFrame) -> DataFrame:
     """Append the per-row invariant column (input_hint: content sha256)."""
     return df.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+
+
+def powerlaw_edges(
+    spark: SparkSession,
+    n_samples: int,
+    n_vertices: int,
+    seed: int = SEED,
+    relabel: bool = True,
+) -> DataFrame:
+    """Deterministic skewed edge table with a guaranteed mega-hub — the
+    adversarial input for the skew machinery (chunked CSR blocks, degree
+    orientation, map-side partial aggregation).
+
+    Each endpoint is ``floor(n_vertices ** u)`` with u hash-uniform in
+    [0, 1): P(vertex = v) ∝ 1/v (log-uniform), so vertex 1 collects
+    ≈ n_samples / ln(n_vertices) of all endpoints — at the BENCH settings
+    (2M samples, 1e5 vertices) a hub of ~1e5 distinct neighbours, i.e. it
+    is adjacent to essentially the whole graph. Pure column expressions
+    (no RNG state), canonicalized (loops/dups dropped) and relabelled by
+    descending degree — the ingest invariant the oriented triangle plan
+    relies on."""
+    from peregrine_spark.graph.build import edges_from_pairs
+    from peregrine_spark.graph.from_tables import relabel_by_degree
+
+    rows = spark.range(n_samples)
+    den = float(1 << 53)
+
+    def u(salt: str):
+        return (F.abs(F.xxhash64("id", F.lit(salt), F.lit(seed))) % F.lit(1 << 53)) / F.lit(den)
+
+    src = F.floor(F.pow(F.lit(float(n_vertices)), u("pl_a"))).cast("long")
+    dst = F.floor(F.pow(F.lit(float(n_vertices)), u("pl_b"))).cast("long")
+    e = edges_from_pairs(rows.select(src.alias("a"), dst.alias("b")))
+    if relabel:
+        e, _ = relabel_by_degree(e)
+    return e

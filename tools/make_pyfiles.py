@@ -20,8 +20,12 @@ def main() -> None:
     out.parent.mkdir(parents=True, exist_ok=True)
     pkg = ROOT / "peregrine_spark"
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
-        for p in sorted(pkg.rglob("*.py")):
-            if "__pycache__" in p.parts:
+        # .py sources plus package data (bundled nauty-format pattern files
+        # patterns/data/*.g6 — PatternGenerator.all(7..9) reads them)
+        for p in sorted(pkg.rglob("*")):
+            if "__pycache__" in p.parts or not p.is_file():
+                continue
+            if p.suffix not in (".py", ".g6"):
                 continue
             zf.write(p, p.relative_to(ROOT))
     print(f"wrote {out} ({out.stat().st_size} bytes)")

@@ -32,14 +32,18 @@ ITERS = 5
 METRICS = ["pagerank", "pagerank_csr", "cc", "triangle"]
 
 
-def prepare(sf: float, out: str) -> int:
+def prepare(sf: float, out: str, skewed: bool = False) -> int:
     from peregrine_spark.graph.build import build_graph
     from peregrine_spark.session import get_spark
-    from peregrine_spark.tables import source_repo_table
+    from peregrine_spark.tables import powerlaw_edges, source_repo_table
 
     spark = get_spark(app_name="scaling_prepare")
-    g = build_graph(source_repo_table(spark, sf=sf))
-    g.edges.repartition(16).write.mode("overwrite").parquet(out)
+    if skewed:
+        # adversarial skew case: ~1e5-degree hub (sf = millions of samples)
+        edges = powerlaw_edges(spark, int(sf * 1_000_000), 100_000)
+    else:
+        edges = build_graph(source_repo_table(spark, sf=sf)).edges
+    edges.repartition(16).write.mode("overwrite").parquet(out)
     n = spark.read.parquet(out).count()
     spark.stop()
     return n
@@ -103,6 +107,9 @@ def main() -> None:
     ap.add_argument("--edges", type=str, default=None)
     ap.add_argument("--measure", type=int, default=None)
     ap.add_argument("--shuffle", type=int, default=None)
+    ap.add_argument("--skewed", action="store_true",
+                    help="power-law input with a ~1e5-degree hub instead of "
+                         "the source-repo graph (sf = millions of samples)")
     args = ap.parse_args()
 
     if args.measure is not None:
@@ -110,8 +117,9 @@ def main() -> None:
         return
 
     shuffle = max(2 * 4 * args.n, 8)
-    edges_path = args.edges or str(Path(tempfile.gettempdir()) / f"scaling_edges_sf{args.sf}")
-    n_edges = prepare(args.sf, edges_path)
+    tag = "skew" if args.skewed else "sf"
+    edges_path = args.edges or str(Path(tempfile.gettempdir()) / f"scaling_edges_{tag}{args.sf}")
+    n_edges = prepare(args.sf, edges_path, skewed=args.skewed)
 
     small = run_side(args.n, shuffle, edges_path, args.reps[0])
     big = run_side(4 * args.n, shuffle, edges_path, args.reps[1])
@@ -122,6 +130,7 @@ def main() -> None:
     eff = {k: round(best(small, k) / (4 * best(big, k)), 3) for k in METRICS}
     print(json.dumps({
         "metric": "scaling efficiency N->4N cores, min-over-reps steady-state",
+        "input": "powerlaw_hub" if args.skewed else "source_repo",
         "sf": args.sf,
         "n_edges": n_edges,
         "n_cores": args.n,
