@@ -325,7 +325,7 @@ class PatternGenerator:
             raise ValueError("patterns supported up to size 9 (reference parity)")
         key = size
         if key in PatternGenerator._all_cache:
-            base = PatternGenerator._all_cache[key]
+            out = PatternGenerator._all_cache[key]
         elif size <= 6:
             pairs = list(itertools.combinations(range(1, size + 1), 2))
             seen: dict = {}
@@ -339,20 +339,28 @@ class PatternGenerator:
                 cf = canonical_form(g)
                 if cf not in seen:
                     seen[cf] = g
-            base = list(seen.values())
-            PatternGenerator._all_cache[key] = base
+            out = sorted(
+                seen.values(), key=lambda g: (g.num_true_edges, canonical_form(g))
+            )
+            PatternGenerator._all_cache[key] = out
         else:
             text = _bundled_g6_text(size)
             if text is not None:
-                base = [
+                # bundled files are pre-sorted by (num_true_edges,
+                # canonical_form) at generation time (tools/gen_patterns.py)
+                # — trusting the order avoids 261k canonical-form calls for
+                # size 9 on every load
+                out = [
                     PatternGenerator.from_g6(line)
                     for line in text.splitlines()
                     if line.strip()
                 ]
             else:
-                base = PatternGenerator._connected(size)
-            PatternGenerator._all_cache[key] = base
-        out = sorted(base, key=lambda g: (g.num_true_edges, canonical_form(g)))
+                out = sorted(
+                    PatternGenerator._connected(size),
+                    key=lambda g: (g.num_true_edges, canonical_form(g)),
+                )
+            PatternGenerator._all_cache[key] = out
         if vertex_based and anti_edges:
             out2 = []
             for g in out:

@@ -90,3 +90,20 @@ def test_labels_dictionary(spark):
     labs = {r["lang"] for r in g.labels.collect()}
     assert labs <= {"py", "cpp", "js", "go", "rs", "java"}
     assert g.vertices.where(F.col("label").isNull()).count() == 0
+
+
+def test_powerlaw_edges_deterministic_hub(spark):
+    from peregrine_spark.tables import powerlaw_edges
+    from pyspark.sql import functions as F
+
+    e1 = powerlaw_edges(spark, 20_000, 500)
+    e2 = powerlaw_edges(spark, 20_000, 500)
+    # deterministic (pure column expressions, no RNG state)
+    assert {tuple(r) for r in e1.collect()} == {tuple(r) for r in e2.collect()}
+    from peregrine_spark.graph.from_tables import degrees
+
+    d = degrees(e1)
+    top = d.orderBy(F.col("degree").desc()).limit(2).collect()
+    # relabelled: vertex 1 is the hub, and it dwarfs the median vertex
+    assert top[0]["v"] == 1
+    assert top[0]["degree"] > 50
