@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from peregrine_spark.graph.build import symmetrized
-from peregrine_spark.supersteps.engine import SuperstepEngine, SuperstepResult
+from peregrine_spark.supersteps.engine import (
+    SuperstepEngine,
+    SuperstepResult,
+    auto_shuffle_partitions,
+    shuffle_partitions,
+)
 
 
 def connected_components(
@@ -33,6 +38,7 @@ def connected_components(
     resume: bool = False,
     check_every: int = 1,
     strategy: str = "minprop",
+    n_partitions: int | None = None,
 ) -> SuperstepResult:
     """State: (v, comp). Converged when changed-row count hits 0.
 
@@ -45,16 +51,12 @@ def connected_components(
     graphs). Both return identical (v, comp) with comp = component min.
     """
     if strategy == "contraction":
-        return _cc_contraction(edges, max_iters, engine, resume)
+        return _cc_contraction(edges, max_iters, engine, resume, n_partitions)
     if strategy != "minprop":
         raise ValueError(f"unknown strategy {strategy!r}")
     spark = edges.sparkSession
-    sym = symmetrized(edges)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    sym = sym.repartition(n_part, "src").persist()
-    state0 = sym.select(F.col("src").alias("v")).distinct().select(
-        "v", F.col("v").alias("comp")
-    )
+    n_part = n_partitions or auto_shuffle_partitions(spark, 2 * edges.count())
+    sym = symmetrized(edges).repartition(n_part, "src").persist()
     engine = engine or SuperstepEngine(spark)
 
     cache_box: list[DataFrame] = []
@@ -82,7 +84,11 @@ def connected_components(
         cache_box.append(new)
         return new.select("v", "comp"), float(changed)
 
-    res = engine.run(state0, step, max_iters=max_iters, tol=0.0, resume=resume)
+    with shuffle_partitions(spark, n_part):
+        state0 = sym.select(F.col("src").alias("v")).distinct().select(
+            "v", F.col("v").alias("comp")
+        )
+        res = engine.run(state0, step, max_iters=max_iters, tol=0.0, resume=resume)
     while cache_box:
         cache_box.pop().unpersist()
     sym.unpersist()
@@ -122,6 +128,7 @@ def _cc_contraction(
     max_iters: int,
     engine: SuperstepEngine | None,
     resume: bool,
+    n_partitions: int | None = None,
 ) -> SuperstepResult:
     """Alternating large-star/small-star contraction. State per superstep is
     the shrinking edge set; convergence = edge set unchanged across a full
@@ -129,6 +136,7 @@ def _cc_contraction(
     At the fixpoint the edges form stars (v -> component min)."""
     spark = edges.sparkSession
     engine = engine or SuperstepEngine(spark)
+    n_part = n_partitions or auto_shuffle_partitions(spark, 2 * edges.count())
     verts = (
         symmetrized(edges).select(F.col("src").alias("v")).distinct().localCheckpoint()
     )
@@ -154,7 +162,8 @@ def _cc_contraction(
         prev_sig[0] = sig
         return new.select("src", "dst"), delta
 
-    res = engine.run(E0, step, max_iters=max_iters, tol=0.0, resume=resume)
+    with shuffle_partitions(spark, n_part):
+        res = engine.run(E0, step, max_iters=max_iters, tol=0.0, resume=resume)
     while cache_box:
         cache_box.pop().unpersist()
     E = res.state  # star edges (v, root)

@@ -18,7 +18,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from peregrine_spark.graph.build import symmetrized
-from peregrine_spark.supersteps.engine import SuperstepEngine, SuperstepResult
+from peregrine_spark.supersteps.engine import (
+    SuperstepEngine,
+    SuperstepResult,
+    auto_shuffle_partitions,
+    shuffle_partitions,
+)
 
 
 def label_propagation(
@@ -28,20 +33,13 @@ def label_propagation(
     engine: SuperstepEngine | None = None,
     resume: bool = False,
     check_every: int = 1,
+    n_partitions: int | None = None,
 ) -> SuperstepResult:
     """State: (v, label). ``seeds`` optional (v, label) initial assignment;
     default label_0(v) = v."""
     spark = edges.sparkSession
-    sym = symmetrized(edges)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    sym = sym.repartition(n_part, "src").persist()
-    vs = sym.select(F.col("src").alias("v")).distinct()
-    if seeds is None:
-        state0 = vs.select("v", F.col("v").alias("label"))
-    else:
-        state0 = vs.join(seeds, "v", "left").select(
-            "v", F.coalesce("label", F.col("v")).alias("label")
-        )
+    n_part = n_partitions or auto_shuffle_partitions(spark, 2 * edges.count())
+    sym = symmetrized(edges).repartition(n_part, "src").persist()
     engine = engine or SuperstepEngine(spark)
 
     cache_box: list[DataFrame] = []
@@ -72,7 +70,15 @@ def label_propagation(
         cache_box.append(new)
         return new.select("v", "label"), float(changed)
 
-    res = engine.run(state0, step, max_iters=max_iters, tol=0.0, resume=resume)
+    with shuffle_partitions(spark, n_part):
+        vs = sym.select(F.col("src").alias("v")).distinct()
+        if seeds is None:
+            state0 = vs.select("v", F.col("v").alias("label"))
+        else:
+            state0 = vs.join(seeds, "v", "left").select(
+                "v", F.coalesce("label", F.col("v")).alias("label")
+            )
+        res = engine.run(state0, step, max_iters=max_iters, tol=0.0, resume=resume)
     while cache_box:
         cache_box.pop().unpersist()
     sym.unpersist()

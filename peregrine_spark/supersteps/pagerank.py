@@ -33,7 +33,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from peregrine_spark.graph.build import symmetrized
-from peregrine_spark.supersteps.engine import SuperstepEngine, SuperstepResult
+from peregrine_spark.supersteps.engine import (
+    SuperstepEngine,
+    SuperstepResult,
+    auto_shuffle_partitions,
+    shuffle_partitions,
+)
 
 
 def _degrees(edges_sym: DataFrame) -> DataFrame:
@@ -58,6 +63,7 @@ def pagerank(
     engine: SuperstepEngine | None = None,
     resume: bool = False,
     check_every: int = 1,
+    n_partitions: int | None = None,
 ) -> SuperstepResult:
     """Strategy A: pure-DataFrame supersteps. ``edges`` is canonical
     (src<dst); state schema (v, deg, rank).
@@ -65,13 +71,14 @@ def pagerank(
     check_every: convergence (L1 delta) is measured every k-th superstep;
     in between, a superstep is exactly ONE Spark job (the truncation pass)
     — at scale the delta aggregation is a second full pass over the state,
-    so fixed-iteration runs set this high."""
+    so fixed-iteration runs set this high.
+
+    n_partitions: partition count for the adjacency AND every in-loop
+    shuffle (defaults to :func:`auto_shuffle_partitions` of the symmetrized
+    edge count — data-sized, not the session default)."""
     spark = edges.sparkSession
-    sym = symmetrized(edges)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    sym = sym.repartition(n_part, "src").persist()
-    deg = _degrees(sym)
-    state0, n = _init_state(deg)
+    n_part = n_partitions or auto_shuffle_partitions(spark, 2 * edges.count())
+    sym = symmetrized(edges).repartition(n_part, "src").persist()
     engine = engine or SuperstepEngine(spark)
 
     cache_box: list[DataFrame] = []
@@ -108,7 +115,9 @@ def pagerank(
         out = new.select("v", "deg", "rank")
         return out, float(delta or 0.0)
 
-    res = engine.run(state0, step, max_iters=max_iters, tol=tol, resume=resume)
+    with shuffle_partitions(spark, n_part):
+        state0, n = _init_state(_degrees(sym))
+        res = engine.run(state0, step, max_iters=max_iters, tol=tol, resume=resume)
     while cache_box:
         cache_box.pop().unpersist()
     res.state = res.state.select("v", "rank", "deg")
@@ -149,18 +158,22 @@ def pagerank_csr(
     engine: SuperstepEngine | None = None,
     resume: bool = False,
     check_every: int = 1,
+    n_partitions: int | None = None,
 ) -> SuperstepResult:
     """Strategy B: chunked-CSR Arrow kernel supersteps."""
     spark = edges.sparkSession
+    n_part = n_partitions or auto_shuffle_partitions(spark, 2 * edges.count())
     sym = symmetrized(edges)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    blocks = (
-        build_adjacency_blocks(sym, chunk_size)
-        .repartition(n_part, "src")
-        .persist()
-    )
-    deg = blocks.groupBy(F.col("src").alias("v")).agg(F.sum(F.size("nbrs")).alias("deg"))
-    state0, n = _init_state(deg)
+    with shuffle_partitions(spark, n_part):
+        blocks = (
+            build_adjacency_blocks(sym, chunk_size)
+            .repartition(n_part, "src")
+            .persist()
+        )
+        deg = blocks.groupBy(F.col("src").alias("v")).agg(
+            F.sum(F.size("nbrs")).alias("deg")
+        )
+        state0, n = _init_state(deg)
     engine = engine or SuperstepEngine(spark)
 
     def gather_scatter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -210,7 +223,8 @@ def pagerank_csr(
         cache_box.append(new)
         return new.select("v", "deg", "rank"), float(delta or 0.0)
 
-    res = engine.run(state0, step, max_iters=max_iters, tol=tol, resume=resume)
+    with shuffle_partitions(spark, n_part):
+        res = engine.run(state0, step, max_iters=max_iters, tol=tol, resume=resume)
     while cache_box:
         cache_box.pop().unpersist()
     res.state = res.state.select("v", "rank", "deg")
