@@ -20,9 +20,11 @@ Spark-native HOW:
   carries, plus a single wildcard (−1) variant whose one matching pass
   yields per-discovered-label supports for every OTHER label at once —
   at scale this collapses |labels| match jobs into one;
-* a level's candidates are evaluated concurrently (threads share the
-  SparkContext, so independent match+support jobs overlap instead of
-  serializing on the driver);
+* a level's candidates are evaluated as small concurrent union-jobs:
+  each candidate's match plan is orbit-exploded to (pattern, wl, orbit,
+  vertex) rows, a few plans are unioned per query (wide unions measured
+  superlinear in Catalyst), and the chunks + their plan construction run
+  on driver threads sharing the SparkContext;
 * extension + canonical dedup are driver-side pure Python (patterns are
   tiny).
 
@@ -32,7 +34,6 @@ MNI is anti-monotone, so threshold pruning between levels is sound.
 from __future__ import annotations
 
 import itertools
-from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -126,6 +127,93 @@ def mni_support_by_label(
     }
 
 
+def mni_supports_level(
+    items: list[tuple[int, DataFrame, "SmallGraph", int | None]],
+    vertices: DataFrame | None,
+    chunk: int = 4,
+    max_workers: int = 16,
+) -> dict[tuple[int, int | None], int]:
+    """Evaluate MNI support for a whole FSM level with bounded driver
+    overhead: candidates are grouped into small unions (``chunk`` plans per
+    query) and the chunks run CONCURRENTLY on driver threads sharing the
+    SparkContext.
+
+    Why both levers: one query per candidate serializes on per-job driver
+    latency; one query per level makes Catalyst analyze a union of dozens
+    of k-way self-join plans, which measured superlinear (24-wide union was
+    2-3x slower than 8-wide chunks). Small unions keep the optimizer fast;
+    threads overlap the remaining analysis + scheduling. Each chunk is ONE
+    aggregation job: every candidate's match table is orbit-exploded to
+    (pid, wl, o, x) rows — wl is the label the wildcard vertex matched
+    (NULL for fully-labelled patterns) — then
+    groupBy(pid, wl, o).count_distinct(x) → groupBy(pid, wl).min.
+
+    Returns {(pid, wl): support}; wl is None for fully-labelled patterns.
+    A (pid, wl) group missing an orbit (zero matches for it) is dropped —
+    its support is 0."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    out: dict[tuple[int, int | None], int] = {}
+    expected: dict[int, int] = {}
+    todo: list[tuple[int, "object", "SmallGraph", int | None]] = []
+    for pid, match_fn, pattern, wildcard in items:
+        orbits = _true_orbits(pattern)
+        expected[pid] = len(orbits)
+        if orbits:
+            todo.append((pid, match_fn, pattern, wildcard))
+
+    def stack_one(pid, match_fn, pattern, wildcard) -> DataFrame:
+        # plan construction happens HERE, inside the worker thread — each
+        # DataFrame method is a py4j round trip (~measured 19s serialized
+        # for a 115-candidate level), so building plans concurrently
+        # matters as much as running the jobs concurrently
+        matches = match_fn() if callable(match_fn) else match_fn
+        orbits = _true_orbits(pattern)
+        if wildcard is not None:
+            wl_df = vertices.select(
+                F.col("v").alias(f"v{wildcard}"), F.col("label").alias("_wl")
+            )
+            m = matches.join(wl_df, f"v{wildcard}")
+            wl_col = F.col("_wl")
+        else:
+            m = matches
+            wl_col = F.lit(None).cast("long")
+        entries = [
+            F.struct(F.lit(i).alias("o"), F.col(f"v{p}").alias("x"))
+            for i, orbit in enumerate(orbits)
+            for p in orbit
+        ]
+        return m.select(
+            F.lit(pid).alias("pid"),
+            wl_col.alias("wl"),
+            F.explode(F.array(*entries)).alias("e"),
+        ).select("pid", "wl", F.col("e.o").alias("o"), F.col("e.x").alias("x"))
+
+    def eval_chunk(batch: list) -> list:
+        stacks = [stack_one(*it) for it in batch]
+        u = stacks[0]
+        for s in stacks[1:]:
+            u = u.unionAll(s)
+        return (
+            u.groupBy("pid", "wl", "o")
+            .agg(F.count_distinct("x").alias("n"))
+            .groupBy("pid", "wl")
+            .agg(F.min("n").alias("s"), F.count(F.lit(1)).alias("k"))
+            .collect()
+        )
+
+    batches = [todo[lo : lo + chunk] for lo in range(0, len(todo), chunk)]
+    if not batches:
+        return out
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(batches))) as ex:
+        for rows in ex.map(eval_chunk, batches):
+            for r in rows:
+                if r["k"] == expected[r["pid"]]:
+                    wl = None if r["wl"] is None else int(r["wl"])
+                    out[(int(r["pid"]), wl)] = int(r["s"])
+    return out
+
+
 def support_at_least(
     edges: DataFrame,
     pattern: SmallGraph,
@@ -210,10 +298,14 @@ def fsm(
     support: int,
     max_vertices: int = 3,
     discover: bool = True,
-    max_workers: int = 8,
+    level_chunk: int = 4,
 ) -> list[tuple[SmallGraph, int]]:
     """Mine labelled patterns with MNI support >= ``support`` up to
     ``max_vertices`` pattern vertices. Returns fully-labelled patterns only.
+
+    level_chunk: how many candidate match-plans are unioned per query;
+    chunks run concurrently on driver threads (see
+    :func:`mni_supports_level`).
 
     vertices: (v, label). Seeds are the distinct label pairs of actual
     edges (the DISCOVER_LABELS step, core/Peregrine.hh:552-568) — computed
@@ -224,8 +316,17 @@ def fsm(
     outside the pattern's own set). ``discover=False`` enumerates every
     observed label explicitly (one job each) — kept as the cross-check path.
     """
+    from peregrine_spark.supersteps.engine import (
+        auto_shuffle_partitions,
+        shuffle_partitions,
+    )
+
+    spark = edges.sparkSession
     sym = symmetrized(edges)
     lab = vertices.select("v", "label")
+    # the per-candidate match/support jobs are many and individually small;
+    # size their shuffles to the graph, not the session default
+    n_part = auto_shuffle_partitions(spark, 2 * edges.count())
     seed_pairs = (
         edges.join(lab.withColumnsRenamed({"v": "src", "label": "la"}), "src")
         .join(lab.withColumnsRenamed({"v": "dst", "label": "lb"}), "dst")
@@ -246,22 +347,38 @@ def fsm(
     result_cfs: set = set()
     attempted = {canonical_form(g) for g in candidates}
 
-    def eval_candidate(g: SmallGraph) -> list[tuple[SmallGraph, int]]:
-        wildcards = [v for v, l in g.labels.items() if l == -1]
-        m = compile_match(sym, g, vertices=lab).df
-        if wildcards:
-            per = mni_support_by_label(m, g, wildcards[0], lab)
-            out = []
-            for lab_val, s in sorted(per.items()):
-                if s >= support:
-                    out.append((g.copy().set_label(wildcards[0], lab_val), s))
-            return out
-        s = mni_support(m, g)
-        return [(g, s)] if s >= support else []
-
     while candidates:
-        with ThreadPoolExecutor(max_workers=max_workers) as ex:
-            found = [t for lst in ex.map(eval_candidate, candidates) for t in lst]
+        # a level is evaluated as small concurrent union-jobs; match-plan
+        # construction is deferred into the worker threads (lazy match_fn)
+        items = []
+        for pid, g in enumerate(candidates):
+            wc = next((v for v, l in sorted(g.labels.items()) if l == -1), None)
+            items.append(
+                (
+                    pid,
+                    (lambda g=g: compile_match(sym, g, vertices=lab).df),
+                    g,
+                    wc,
+                )
+            )
+        with shuffle_partitions(spark, n_part):
+            sup = mni_supports_level(items, lab, chunk=level_chunk)
+        found: list[tuple[SmallGraph, int]] = []
+        for pid, g in enumerate(candidates):
+            wc = items[pid][3]
+            if wc is not None:
+                per = {
+                    wl: s
+                    for (p, wl), s in sup.items()
+                    if p == pid and wl is not None
+                }
+                for lab_val, s in sorted(per.items()):
+                    if s >= support:
+                        found.append((g.copy().set_label(wc, lab_val), s))
+            else:
+                s = sup.get((pid, None), 0)
+                if s >= support:
+                    found.append((g, s))
         new_frequent: list[SmallGraph] = []
         for g, s in found:
             cf = canonical_form(g)
