@@ -6,8 +6,10 @@ Methodology (documented in BENCH.md):
      (ingest is a one-time cost in production; the gate is about query
      throughput).
   2. For each side (N cores, 4N cores), in a fresh JVM, read the same
-     parquet, fix the same shuffle partitioning, and run fixed-superstep
-     vertex programs + triangle count. Repeat --reps times.
+     parquet, pin the same shuffle AND operator-internal partitioning
+     (n_partitions overrides auto_shuffle_partitions so the data layout is
+     identical on both sides), and run fixed-superstep vertex programs +
+     triangle count. Repeat --reps times.
   3. Report per-metric minimum over repetitions per side (minimum filters
      external host interference; the sandbox is a shared machine) and the
      efficiency T_N / (4 * T_4N).
@@ -71,11 +73,14 @@ def measure(cores: int, shuffle: int, edges_path: str) -> dict:
         return sum(secs[1:-1]) / max(len(secs) - 2, 1) if len(secs) >= 3 else secs[-1]
 
     out = {}
-    res = pagerank(edges, max_iters=ITERS, tol=-1.0, check_every=ITERS)
+    res = pagerank(edges, max_iters=ITERS, tol=-1.0, check_every=ITERS,
+                   n_partitions=shuffle)
     out["pagerank"] = steady(res.metrics)
-    res = pagerank_csr(edges, max_iters=ITERS, tol=-1.0, check_every=ITERS)
+    res = pagerank_csr(edges, max_iters=ITERS, tol=-1.0, check_every=ITERS,
+                       n_partitions=shuffle)
     out["pagerank_csr"] = steady(res.metrics)
-    res = connected_components(edges, max_iters=ITERS, check_every=ITERS)
+    res = connected_components(edges, max_iters=ITERS, check_every=ITERS,
+                               n_partitions=shuffle)
     out["cc"] = steady(res.metrics)
     triangle_count(edges).collect()  # warm
     t0 = time.monotonic()
