@@ -37,8 +37,9 @@ from peregrine_spark.multimodal.assets import (
     extract_features,
     frame_sample_plan,
 )
-from peregrine_spark.operators.fsm import fsm, mni_support
+from peregrine_spark.operators.fsm import fsm, mni_support, support_at_least
 from peregrine_spark.operators.match import count_motifs, existence
+from peregrine_spark.plans.fast_counts import star_count
 from peregrine_spark.operators.triangles import triangle_count
 from peregrine_spark.patterns.small_graph import PatternGenerator, SmallGraph
 from peregrine_spark.plans.compiler import compile_match
@@ -416,6 +417,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mni_support_wedge"] = q_mni_wedge
 
+    def q_support_threshold(spark, sf_dir):
+        # stoppable aggregation (reference handle.stop() analogue): answers
+        # "is wedge MNI support >= T" with early termination — the low
+        # threshold short-circuits after T distinct vertices, the high one
+        # bails on the incremental pre-probe
+        rel = _relabelled(spark, sf_dir)
+        wedge = PatternGenerator.star(3)
+        rows = [
+            (int(t), bool(support_at_least(rel, wedge, t)))
+            for t in (1500, 5_000_000)
+        ]
+        return spark.createDataFrame(rows, "threshold long, reached boolean")
+
+    q["support_threshold_wedge"] = q_support_threshold
+
+    def q_seven_star(spark, sf_dir):
+        # 7-vertex star via the closed-form fast path: sum_v C(deg(v), 6)
+        # with exact integer binomials (no join at all)
+        rel = _relabelled(spark, sf_dir)
+        return star_count(rel, 7).select(F.col("cnt").alias("seven_stars"))
+
+    q["seven_star_count"] = q_seven_star
+
     def q_fsm_edges(spark, sf_dir):
         edges = _edges(spark, sf_dir)
         verts = (
@@ -510,6 +534,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.state.select("v", "comp")
 
     q["connected_components"] = q_cc
+
+    def q_cc_contraction(spark, sf_dir):
+        # large-star/small-star contraction (Kiveris et al., SoCC'14):
+        # O(log^2 n) rounds independent of diameter — the scale path for
+        # long-chain graphs; must agree exactly with min-propagation
+        res = connected_components(
+            _edges(spark, sf_dir, CC_FILTER),
+            max_iters=64,
+            strategy="contraction",
+        )
+        assert res.converged, "contraction CC did not converge"
+        return res.state.select("v", "comp")
+
+    q["connected_components_contraction"] = q_cc_contraction
 
     def q_lp(spark, sf_dir):
         res = label_propagation(_edges(spark, sf_dir, CC_FILTER), max_iters=2)
@@ -716,6 +754,23 @@ SELECT CAST(least(
   (SELECT count(*) FROM (SELECT a AS x FROM m UNION SELECT b AS x FROM m))
 ) AS BIGINT) AS support"""
 
+    o["support_threshold_wedge"] = f"""WITH e AS MATERIALIZED ({e}), sym AS ({SYM_SQL}),
+m AS MATERIALIZED (
+  SELECT e1.src AS c, e1.dst AS a, e2.dst AS b
+  FROM sym e1 JOIN sym e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+s AS (SELECT least(
+  (SELECT count(DISTINCT c) FROM m),
+  (SELECT count(*) FROM (SELECT a AS x FROM m UNION SELECT b AS x FROM m))
+) AS support)
+SELECT CAST(t.threshold AS BIGINT) AS threshold, s.support >= t.threshold AS reached
+FROM (VALUES (1500), (5000000)) AS t(threshold), s"""
+
+    o["seven_star_count"] = f"""WITH e AS ({e}), sym AS ({SYM_SQL}),
+deg AS (SELECT src AS v, count(*) AS d FROM sym GROUP BY 1)
+SELECT CAST(sum(CASE WHEN d >= 6
+  THEN (d*(d-1)*(d-2)*(d-3)*(d-4)*(d-5)) // 720 ELSE 0 END) AS BIGINT) AS seven_stars
+FROM deg"""
+
     o["fsm_labelled_edges"] = f"""WITH e AS MATERIALIZED ({e}),
 el AS (SELECT src, dst, src % 5 AS ls, dst % 5 AS ld FROM e),
 canon AS (
@@ -751,6 +806,8 @@ reach(v, r) AS (
   UNION
   SELECT reach.v, sym.dst FROM reach JOIN sym ON reach.r = sym.src)
 SELECT v, least(v, min(r)) AS comp FROM reach GROUP BY v"""
+
+    o["connected_components_contraction"] = o["connected_components"]
 
     o["label_propagation2"] = _labelprop_sql(2, CC_FILTER)
 

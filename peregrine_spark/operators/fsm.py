@@ -243,7 +243,9 @@ def support_at_least(
     sym = symmetrized(edges)
     m = compile_match(sym, pattern, vertices=vertices).df
     need = math.ceil(threshold / max(len(o) for o in orbits))
-    if len(m.limit(need).take(need)) < need:
+    # limit().count() truncates the match stream at `need` rows without
+    # moving any row to the driver (take() would collect them)
+    if m.limit(need).count() < need:
         return False
     m = m.persist()
     try:
@@ -251,7 +253,7 @@ def support_at_least(
             dom = m.select(
                 F.explode(F.array(*[F.col(f"v{p}") for p in orbit])).alias("x")
             ).distinct()
-            if len(dom.take(threshold)) < threshold:
+            if dom.limit(threshold).count() < threshold:
                 return False
         return True
     finally:
