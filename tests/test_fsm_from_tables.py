@@ -189,3 +189,48 @@ def test_support_at_least_early_terminates(spark):
 
     e = edges_df(spark, [(i, i + 1) for i in range(1, 30)])
     assert support_at_least(e, PatternGenerator.star(3), 10**9) is False
+
+
+def test_mni_supports_level_matches_single(spark):
+    """The batched level evaluator agrees with the per-pattern functions."""
+    from peregrine_spark.graph.build import symmetrized
+    from peregrine_spark.operators.fsm import (
+        mni_support,
+        mni_support_by_label,
+        mni_supports_level,
+    )
+    from peregrine_spark.patterns.small_graph import SmallGraph
+    from peregrine_spark.plans.compiler import compile_match
+    from pyspark.sql import functions as F
+    from tests.conftest import edges_df
+    from tests.oracle import er_graph
+
+    pairs = er_graph(30, 0.25, seed=17)
+    e = edges_df(spark, pairs)
+    sym = symmetrized(e)
+    verts = (
+        symmetrized(e).select(F.col("src").alias("v")).distinct()
+        .select("v", (F.col("v") % 3).alias("label"))
+    )
+    lab_wedge = (
+        SmallGraph(edges=[(1, 2), (1, 3)])
+        .set_label(1, 0).set_label(2, 1).set_label(3, 2)
+    )
+    wild_wedge = (
+        SmallGraph(edges=[(1, 2), (1, 3)])
+        .set_label(1, 0).set_label(2, 1).set_label(3, -1)
+    )
+    items = [
+        (0, (lambda: compile_match(sym, lab_wedge, vertices=verts).df), lab_wedge, None),
+        (1, (lambda: compile_match(sym, wild_wedge, vertices=verts).df), wild_wedge, 3),
+    ]
+    got = mni_supports_level(items, verts, chunk=2)
+
+    m0 = compile_match(sym, lab_wedge, vertices=verts).df
+    exp0 = mni_support(m0, lab_wedge)
+    m1 = compile_match(sym, wild_wedge, vertices=verts).df
+    exp1 = mni_support_by_label(m1, wild_wedge, 3, verts)
+    assert got.get((0, None), 0) == exp0
+    for wl, s in exp1.items():
+        assert got[(1, wl)] == s
+    assert {k for k in got if k[0] == 1} == {(1, wl) for wl in exp1}

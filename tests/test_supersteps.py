@@ -172,3 +172,44 @@ def test_cc_contraction_logarithmic_rounds_on_path(spark):
     assert {(r["v"], r["comp"]) for r in res.state.collect()} == {
         (v, 1) for v in range(1, 61)
     }
+
+
+def test_auto_shuffle_partitions_regimes(spark):
+    from peregrine_spark.supersteps.engine import auto_shuffle_partitions
+
+    cores = spark.sparkContext.defaultParallelism
+    # tiny input: scheduling floor dominates -> far fewer than core count
+    assert auto_shuffle_partitions(spark, 1_000) == 1
+    # medium: one partition per ~100k rows up to the core count
+    assert auto_shuffle_partitions(spark, 300_000) == min(cores, 3)
+    # beyond cores*2M rows: ~2M-row partitions win (spill safety at scale)
+    big = auto_shuffle_partitions(spark, cores * 2_000_000 * 3)
+    assert big == cores * 3
+
+
+def test_shuffle_partitions_context_restores(spark):
+    from peregrine_spark.supersteps.engine import shuffle_partitions
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with shuffle_partitions(spark, 7):
+        assert spark.conf.get(key) == "7"
+    assert spark.conf.get(key) == before
+    with shuffle_partitions(spark, None):
+        assert spark.conf.get(key) == before
+
+
+def test_operators_accept_pinned_partitions(spark):
+    # the scaling-evidence path pins the layout on both sides
+    pairs = er_graph(30, 0.2, seed=91)
+    e = edges_df(spark, pairs)
+    r1 = pagerank(e, max_iters=5, tol=0.0, n_partitions=3)
+    r2 = pagerank(e, max_iters=5, tol=0.0)
+    a = {r["v"]: r["rank"] for r in r1.state.collect()}
+    b = {r["v"]: r["rank"] for r in r2.state.collect()}
+    assert all(abs(a[v] - b[v]) < 1e-12 for v in a)
+    c1 = connected_components(e, n_partitions=2)
+    c2 = connected_components(e)
+    assert {tuple(r) for r in c1.state.collect()} == {
+        tuple(r) for r in c2.state.collect()
+    }
