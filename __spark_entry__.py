@@ -76,6 +76,9 @@ CC_FILTER = "l_quantity <= 3"  # sparser subgraph -> many components
 MOTIF5_FILTER = "l_quantity <= 8"  # ~2.5k edges, max degree ~10: 5-motifs tractable
 FSM3_SUPPORT = 50  # prunes ~1/3 of labelled wedges; triangles all infrequent
 
+# reference query/p1.graph verbatim (4-vertex diamond = K4 minus (2,4))
+P1_DIAMOND = SmallGraph(edges=[(1, 2), (1, 3), (1, 4), (2, 3), (3, 4)])
+
 
 def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -204,6 +207,20 @@ def _inj_hom_sql(p) -> tuple[str, str]:
             if (vs[i], vs[j]) not in eset:
                 conds.append(f"{var[vs[i]]} <> {var[vs[j]]}")
     return ", ".join(froms), (" WHERE " + " AND ".join(conds)) if conds else ""
+
+
+def _pattern_oracle_sql(p, alias: str) -> str:
+    """Injective-homomorphism count / |Aut| of an arbitrary unlabelled
+    pattern — a uniqueness mechanism fully independent of the engine's
+    symmetry-breaking compiler."""
+    from peregrine_spark.patterns.canonical import automorphisms
+
+    frm, whr = _inj_hom_sql(p)
+    aut = len(automorphisms(p))
+    return (
+        f"WITH e AS MATERIALIZED ({_e_sql()}), sym AS MATERIALIZED ({SYM_SQL})\n"
+        f"SELECT CAST((SELECT count(*) FROM {frm}{whr}) // {aut} AS BIGINT) AS {alias}"
+    )
 
 
 def _motif_oracle_sql(size: int, filt: str) -> str:
@@ -439,6 +456,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return star_count(rel, 7).select(F.col("cnt").alias("seven_stars"))
 
     q["seven_star_count"] = q_seven_star
+
+    def q_p1_diamond(spark, sf_dir):
+        # the reference's query/p1.graph (4-vertex diamond, K4 minus an
+        # edge; README.md:91-94 counts it on citeseer) through the generic
+        # pattern->join compiler
+        rel = _relabelled(spark, sf_dir)
+        m = compile_match(symmetrized(rel), P1_DIAMOND).df
+        return m.agg(F.count(F.lit(1)).cast("long").alias("diamonds"))
+
+    q["p1_diamond_count"] = q_p1_diamond
 
     def q_fsm_edges(spark, sf_dir):
         edges = _edges(spark, sf_dir)
@@ -770,6 +797,8 @@ deg AS (SELECT src AS v, count(*) AS d FROM sym GROUP BY 1)
 SELECT CAST(sum(CASE WHEN d >= 6
   THEN (d*(d-1)*(d-2)*(d-3)*(d-4)*(d-5)) // 720 ELSE 0 END) AS BIGINT) AS seven_stars
 FROM deg"""
+
+    o["p1_diamond_count"] = _pattern_oracle_sql(P1_DIAMOND, "diamonds")
 
     o["fsm_labelled_edges"] = f"""WITH e AS MATERIALIZED ({e}),
 el AS (SELECT src, dst, src % 5 AS ls, dst % 5 AS ld FROM e),
