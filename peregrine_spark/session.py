@@ -26,19 +26,29 @@ def get_spark(
     UTC timezone (DuckDB-oracle comparability).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
-    if master is None:
+    # under spark-submit the Python driver attaches to an existing JVM
+    # gateway whose master (--master local-cluster[...]/yarn/k8s) is already
+    # fixed — never override it with a local default
+    submitted = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not submitted:
         master = f"local[{cpus}]" if cpus else "local[*]"
-    if shuffle_partitions is None:
+    if shuffle_partitions is None and not submitted:
+        # (submitted jobs keep whatever --conf spark-submit carried)
         try:
-            n = int(master.split("[")[1].rstrip("]*")) if "[" in master else 0
+            n = int(master.split("[")[1].rstrip("]*")) if master and "[" in master else 0
         except ValueError:
             n = 0
         shuffle_partitions = max(2 * n, 32) if n else 32
 
+    builder = SparkSession.builder
+    if master is not None:
+        builder = builder.master(master)
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
