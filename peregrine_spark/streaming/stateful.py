@@ -1,0 +1,79 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The windows module covers what Structured Streaming's built-in stateful
+aggregations express (tumbling/sliding/session); this module is the
+escape hatch for operators the built-ins can't: per-key custom state with
+Arrow-batched (never per-row) Python transition functions.
+
+First citizen: **streaming exact dedup** — the streaming form of
+``text.dedup.exact_dedup`` for a continuously-arriving document feed (the
+100 TB training-pipeline shape: dedup against everything already
+ingested, not just the current batch). State per content-key is a single
+"seen + smallest id" record; each micro-batch emits only keys seen for
+the first time. State is partitioned by the grouping key across
+executors — the state store scales horizontally the same way the shuffle
+does; a production deployment would bound state with a TTL
+(GroupStateTimeout) or an external dedup index once key cardinality
+outgrows the store.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DEDUP_OUT_SCHEMA = "key string, keep_id long"
+DEDUP_STATE_SCHEMA = "keep_id long"
+
+
+def _dedup_fn(
+    key: Tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Emit (key, min id) the first time a key appears; nothing after."""
+    if state.exists:
+        # already emitted in an earlier batch — drain input, emit nothing
+        for _ in pdfs:
+            pass
+        return
+    best = None
+    for pdf in pdfs:
+        if len(pdf):
+            m = int(pdf["id"].min())
+            best = m if best is None else min(best, m)
+    if best is not None:
+        state.update((best,))
+        yield pd.DataFrame({"key": [key[0]], "keep_id": [best]})
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    key_col: str = "content_hash",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """First-seen exact dedup over a streaming document feed.
+
+    ``docs`` is a streaming DataFrame; returns a streaming (key, keep_id)
+    frame in append mode — one row per distinct ``key_col`` value across
+    the whole stream, carrying the smallest ``id_col`` of its first batch.
+    Batch-parity: running the same input through ``exact_dedup`` (batch)
+    yields the same key set (keep_id may differ only when a key recurs in
+    a LATER batch with a smaller id — first-seen semantics are the
+    streaming contract).
+    """
+    keyed = docs.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(id_col).cast("long").alias("id"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -87,3 +87,44 @@ def test_stream_batch_parity(spark, events, tmp_path):
         for r in tumbling_agg(spark.read.parquet(src), "1 hour").collect()
     }
     assert got == expect
+
+
+def test_streaming_exact_dedup_stateful(spark, tmp_path):
+    """applyInPandasWithState custom operator: first-seen dedup across
+    micro-batches (state survives batch boundaries)."""
+    from peregrine_spark.streaming.stateful import streaming_exact_dedup
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    schema = "doc_id long, content_hash string"
+    # batch 1: keys a (ids 1,2) and b (id 3); batch 2: a again (id 0 --
+    # smaller, must NOT win: first-seen), plus new key c
+    spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], schema
+    ).coalesce(1).write.parquet(str(d / "f1"))
+    spark.createDataFrame(
+        [(0, "a"), (4, "c")], schema
+    ).coalesce(1).write.parquet(str(d / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+    out = streaming_exact_dedup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["key"]: r["keep_id"] for r in spark.sql("SELECT * FROM dedup_stream").collect()
+    }
+    # one row per distinct key; 'a' keeps an id from its FIRST batch (1),
+    # not the later smaller id 0
+    assert set(got) == {"a", "b", "c"}
+    assert got["b"] == 3 and got["c"] == 4
+    assert got["a"] == 1
