@@ -131,7 +131,7 @@ def mni_supports_level(
     items: list[tuple[int, DataFrame, "SmallGraph", int | None]],
     vertices: DataFrame | None,
     chunk: int = 4,
-    max_workers: int = 16,
+    max_workers: int = 32,
 ) -> dict[tuple[int, int | None], int]:
     """Evaluate MNI support for a whole FSM level with bounded driver
     overhead: candidates are grouped into small unions (``chunk`` plans per
