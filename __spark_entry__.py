@@ -44,7 +44,12 @@ from peregrine_spark.operators.triangles import triangle_count
 from peregrine_spark.patterns.small_graph import PatternGenerator, SmallGraph
 from peregrine_spark.plans.compiler import compile_match
 from peregrine_spark.graph.build import symmetrized
-from peregrine_spark.similarity.ann import cosine_topk, cosine_topk_lsh
+from peregrine_spark.similarity.ann import (
+    cosine_pairs,
+    cosine_pairs_lsh,
+    cosine_topk,
+    cosine_topk_lsh,
+)
 from peregrine_spark.supersteps.components import connected_components
 from peregrine_spark.supersteps.labelprop import label_propagation
 from peregrine_spark.supersteps.pagerank import pagerank, pagerank_csr
@@ -655,6 +660,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_topk_lsh"] = q_topk_lsh  # rows-only: recall pytest-checked
 
+    def q_emb_near_dup(spark, sf_dir):
+        # embedding-cosine near-dup pairs, exact all-pairs oracle baseline;
+        # threshold is dataset-relative (the synthetic embeddings' max
+        # pairwise cosine is ~0.51 — 0.4 selects the closest ~0.05%)
+        return cosine_pairs(_embeddings(spark, sf_dir), threshold=0.4)
+
+    q["embedding_near_dup"] = q_emb_near_dup
+
+    def q_emb_near_dup_lsh(spark, sf_dir):
+        return cosine_pairs_lsh(
+            _embeddings(spark, sf_dir), threshold=0.4, n_planes=16, bands=4
+        )
+
+    q["embedding_near_dup_lsh"] = q_emb_near_dup_lsh  # rows-only: recall pytest-checked
+
     # -- multimodal tier ----------------------------------------------------
     def q_binary_features(spark, sf_dir):
         feats = extract_features(attach_payload(_documents(spark, sf_dir)))
@@ -946,6 +966,11 @@ r AS (SELECT query_id, neighbor_id, sim,
       FROM p)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 6) AS sim
 FROM r WHERE rank <= 5"""
+
+    o["embedding_near_dup"] = """SELECT a.vec_id AS a, b.vec_id AS b,
+  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4"""
 
     o["binary_features"] = """SELECT doc_id AS asset_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -178,3 +178,102 @@ def cosine_topk_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
     )
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact: (a, b, sim) for every
+    id pair a < b with cosine >= threshold, sim rounded to 6dp.
+
+    All-pairs O(n^2) by construction — the oracle baseline for the dedup
+    tier (same role ``jaccard_pairs`` plays for text); the scale path is
+    :func:`cosine_pairs_lsh`."""
+    n = with_norm(emb, vec_col)
+    a = n.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("_av"),
+        F.col("_norm").alias("_an"),
+    )
+    b = n.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("_bv"),
+        F.col("_norm").alias("_bn"),
+    )
+    sim = _dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", F.round(sim, 6).alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def cosine_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed (the scale path).
+
+    Random-hyperplane signature split into ``bands`` bands; a pair is a
+    candidate iff it collides in at least one band (sign-LSH collision
+    probability per bit is 1 - angle/pi, so near-identical vectors collide
+    in some band with high probability). Candidates come from a per-band
+    self-join on the band value — linear in corpus size times bucket
+    occupancy, never all-pairs — then exact cosine verification filters to
+    >= threshold, so precision is exact and only recall is approximate
+    (measured in tests).
+
+    ``max_bucket``: bands whose bucket exceeds this are dropped (a
+    degenerate band value — e.g. a zero-vector cluster — would otherwise
+    re-create the quadratic blowup; the cap bounds any bucket's join
+    contribution, the same guard ``minhash_lsh_pairs`` uses)."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes)
+    bits_per = n_planes // bands
+
+    n = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v"),
+        F.col("_norm").alias("_n"),
+        signature(F.col(vec_col), planes).alias("_sig"),
+    )
+    mask = (1 << bits_per) - 1
+    banded = n.select(
+        "id", "_v", "_n",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.shiftright("_sig", bi * bits_per).bitwiseAND(
+                        F.lit(mask)
+                    ).alias("val"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "_v", "_n", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    counts = banded.groupBy("band", "val").agg(F.count(F.lit(1)).alias("_bc"))
+    banded = banded.join(
+        counts.where(F.col("_bc") <= max_bucket).select("band", "val"),
+        ["band", "val"],
+    )
+    left = banded.select("band", "val", F.col("id").alias("a"),
+                         F.col("_v").alias("_av"), F.col("_n").alias("_an"))
+    right = banded.select("band", "val", F.col("id").alias("b"),
+                          F.col("_v").alias("_bv"), F.col("_n").alias("_bn"))
+    cand = (
+        left.join(right, ["band", "val"])
+        .where(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    sim = _dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))
+    return cand.select("a", "b", F.round(sim, 6).alias("sim")).where(
+        F.col("sim") >= threshold
+    )

@@ -226,3 +226,52 @@ def test_frame_sample_plan(docs):
         total = len(text.encode()) // 64 + 1
         expect = list(range(0, total, 2))[:8]
         assert sorted(by_id[i]) == expect
+
+
+def _dup_vecs(n=30, dim=16, seed=11, dups=8):
+    """Base vectors plus `dups` slightly-perturbed copies (true near-dups)."""
+    rng = np.random.RandomState(seed)
+    v = rng.randn(n, dim).astype(np.float32)
+    out = [v]
+    for k in range(dups):
+        out.append(v[k] + 0.02 * rng.randn(dim).astype(np.float32))
+    return np.vstack(out)
+
+
+@pytest.fixture(scope="module")
+def emb_dups(spark):
+    v = _dup_vecs()
+    return spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(v)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_cosine_pairs_matches_numpy(emb_dups):
+    from peregrine_spark.similarity.ann import cosine_pairs
+
+    v = np.array([r["embedding"] for r in emb_dups.orderBy("vec_id").collect()],
+                 dtype=np.float64)
+    nrm = np.linalg.norm(v, axis=1)
+    sims = (v @ v.T) / (nrm[:, None] * nrm[None, :])
+    tau = 0.95
+    exp = {(a, b) for a in range(len(v)) for b in range(a + 1, len(v))
+           if round(sims[a, b], 6) >= tau}
+    got = {(r["a"], r["b"]) for r in cosine_pairs(emb_dups, tau).collect()}
+    assert got == exp
+    assert len(exp) >= 8  # every perturbed copy pairs with its base
+
+
+def test_cosine_pairs_lsh_recall_and_exact_precision(emb_dups):
+    from peregrine_spark.similarity.ann import cosine_pairs, cosine_pairs_lsh
+
+    tau = 0.95
+    exact = {(r["a"], r["b"]): r["sim"] for r in cosine_pairs(emb_dups, tau).collect()}
+    approx = {(r["a"], r["b"]): r["sim"] for r in
+              cosine_pairs_lsh(emb_dups, tau, n_planes=16, bands=4).collect()}
+    # precision is exact: every returned pair is a true >=tau pair with the
+    # true similarity (candidates are verified with the exact cosine)
+    for pair, sim in approx.items():
+        assert pair in exact and abs(sim - exact[pair]) < 1e-9
+    # recall: high-sim pairs collide in some band with high probability
+    assert len(approx) >= 0.9 * len(exact)
