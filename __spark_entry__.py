@@ -48,6 +48,7 @@ from peregrine_spark.similarity.ann import (
     cosine_pairs,
     cosine_pairs_lsh,
     cosine_topk,
+    cosine_topk_ivf,
     cosine_topk_lsh,
 )
 from peregrine_spark.supersteps.components import connected_components
@@ -667,6 +668,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cosine_pairs(_embeddings(spark, sf_dir), threshold=0.4)
 
     q["embedding_near_dup"] = q_emb_near_dup
+
+    def q_topk_ivf(spark, sf_dir):
+        emb = _embeddings(spark, sf_dir)
+        return cosine_topk_ivf(
+            emb, emb.where(F.col("vec_id") < 24), k=5, n_cells=16, nprobe=6
+        )
+
+    q["embedding_topk_ivf"] = q_topk_ivf  # rows-only: recall pytest-checked
 
     def q_emb_near_dup_lsh(spark, sf_dir):
         return cosine_pairs_lsh(

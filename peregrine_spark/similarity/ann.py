@@ -277,3 +277,117 @@ def cosine_pairs_lsh(
     return cand.select("a", "b", F.round(sim, 6).alias("sim")).where(
         F.col("sim") >= threshold
     )
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    lloyd_iters: int = 1,
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: seed centroids are an evenly-
+    strided id sample (reproducible, no RNG), optionally refined by a few
+    Lloyd iterations computed as Spark aggregations (assignment via the
+    JVM-side argmin below; means via groupBy(cell).avg over the unrolled
+    components). Returns a driver-side list (tiny: n_cells × dim)."""
+    n = emb.count()
+    stride = max(1, n // n_cells)
+    seeds = (
+        emb.withColumn(
+            "_rk",
+            F.row_number().over(Window.orderBy(F.col(id_col))),
+        )
+        .where(((F.col("_rk") - 1) % stride == 0) & (F.col("_rk") <= stride * n_cells))
+        .select(vec_col)
+        .collect()
+    )
+    cents = [list(map(float, r[0])) for r in seeds]
+    for _ in range(lloyd_iters):
+        assigned = emb.select(
+            _nearest_cell(F.col(vec_col), cents).alias("cell"),
+            F.col(vec_col).alias("_v"),
+        )
+        dim = len(cents[0])
+        means = assigned.groupBy("cell").agg(
+            *[F.avg(F.col("_v")[i]).alias(f"c{i}") for i in range(dim)],
+            F.count(F.lit(1)).alias("_n"),
+        ).collect()
+        by_cell = {r["cell"]: [r[f"c{i}"] for i in range(dim)] for r in means}
+        cents = [by_cell.get(i, c) for i, c in enumerate(cents)]
+    return cents
+
+
+def _nearest_cell(vec: Column, cents: list[list[float]]) -> Column:
+    """Argmax cosine over the centroid list as a pure column expression.
+    Built as sort_array over (−sim, id) structs so each dot product appears
+    exactly once in the expression tree — a chained when/otherwise argmax
+    would nest its accumulator twice per step and blow up exponentially."""
+    return _cell_ranking(vec, cents, 1)[0]
+
+
+def _cell_ranking(vec: Column, cents: list[list[float]], nprobe: int) -> Column:
+    """Array of the nprobe nearest centroid ids (by cosine), as a sorted
+    slice of (sim, id) structs — JVM-side, no Python."""
+    entries = []
+    for i, c in enumerate(cents):
+        arr = F.array(*[F.lit(float(w)) for w in c])
+        s = _dot(vec, arr) / (F.lit(_py_norm(c)) * _norm(vec))
+        entries.append(F.struct((-s).alias("d"), F.lit(i).alias("cell")))
+    ranked = F.sort_array(F.array(*entries))
+    return F.slice(ranked, 1, nprobe).getField("cell")
+
+
+def _py_norm(v: list[float]) -> float:
+    return math.sqrt(sum(x * x for x in v)) or 1.0
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer: corpus vectors are
+    assigned to their nearest centroid cell once; each query probes its
+    ``nprobe`` nearest cells (explode → cell equi-join) and exact cosine
+    re-ranks inside them. Output schema matches ``cosine_topk``.
+
+    The trained-quantizer counterpart of ``cosine_topk_lsh``: cells adapt
+    to the data distribution (balanced occupancy on clustered corpora,
+    where fixed hyperplane buckets skew). At scale the corpus is
+    partitioned/bucketed by cell, so a probe touches nprobe partitions —
+    classic IVF partition pruning. Pass ``centroids`` to reuse a trained
+    quantizer (recommended: train once, persist with the table)."""
+    cents = centroids or ivf_centroids(corpus, n_cells, vec_col, id_col)
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_norm").alias("_cn"),
+        _nearest_cell(F.col(vec_col), cents).alias("cell"),
+    )
+    qp = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"),
+        F.explode(_cell_ranking(F.col(vec_col), cents, nprobe)).alias("cell"),
+    )
+    sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    scored = (
+        c.join(F.broadcast(qp), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )

@@ -275,3 +275,25 @@ def test_cosine_pairs_lsh_recall_and_exact_precision(emb_dups):
         assert pair in exact and abs(sim - exact[pair]) < 1e-9
     # recall: high-sim pairs collide in some band with high probability
     assert len(approx) >= 0.9 * len(exact)
+
+
+def test_cosine_topk_ivf_recall(emb_dups):
+    from peregrine_spark.similarity.ann import cosine_topk, cosine_topk_ivf
+
+    queries = emb_dups.where(F.col("vec_id") < 6)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             cosine_topk(emb_dups, queries, k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in
+              cosine_topk_ivf(emb_dups, queries, k=3, n_cells=8, nprobe=4).collect()}
+    # probing half the cells recovers most exact neighbours; returned sims
+    # are true cosines (exact re-rank), so errors are only missed cells
+    assert len(exact & approx) >= 0.7 * len(exact)
+
+
+def test_ivf_centroids_deterministic(emb_dups):
+    from peregrine_spark.similarity.ann import ivf_centroids
+
+    c1 = ivf_centroids(emb_dups, n_cells=8)
+    c2 = ivf_centroids(emb_dups, n_cells=8)
+    assert c1 == c2
+    assert len(c1) == 8 and len(c1[0]) == 16
