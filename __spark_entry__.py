@@ -19,9 +19,9 @@ driver's testdata tables:
   multimodal plumbing) runs over ``documents`` and ``embeddings``.
 
 Entries without an ``oracle_sql`` (MinHash-LSH, SimHash, LSH-ANN,
-CSR-kernel PageRank duplicates aside) are sketch-based: their *verified*
-semantics are pytest-checked against the exact operators instead
-(tests/test_dedup.py, tests/test_ann.py).
+IVF-ANN, LSH cosine pairs) are sketch-based: their *verified* semantics
+are pytest-checked against the exact operators instead
+(tests/test_text_pipeline.py recall/precision checks).
 """
 
 from __future__ import annotations
