@@ -49,8 +49,9 @@ def test_fast_path_closed_forms_on_clique(spark):
     assert got == n * math.comb(n - 1, 2)
 
 
-def test_no_fast_path_for_cycles_and_labels(spark):
-    assert fast_count(edges_df(spark, [(1, 2)]), PatternGenerator.cycle(4)) is None
+def test_no_fast_path_for_long_cycles_and_labels(spark):
+    # cycle(4) now has a closed form; longer cycles still fall back
+    assert fast_count(edges_df(spark, [(1, 2)]), PatternGenerator.cycle(5)) is None
     labelled = PatternGenerator.clique(3).set_label(1, 0)
     assert fast_count(edges_df(spark, [(1, 2)]), labelled) is None
 
@@ -82,3 +83,21 @@ def test_star_count_exact_at_hub_degree_beyond_2_53(spark):
     hub = spark.range(1, n + 1).selectExpr("CAST(0 AS LONG) AS src", "id AS dst")
     got = star_count(hub, 4).collect()[0]["cnt"]
     assert got == math.comb(n, 3)  # leaves contribute C(1,3)=0
+
+
+def test_cycle4_fast_path_matches_compiler(spark):
+    from peregrine_spark.graph.build import symmetrized
+    from peregrine_spark.patterns.small_graph import PatternGenerator
+    from peregrine_spark.plans.compiler import compile_match
+    from peregrine_spark.plans.fast_counts import cycle4_count, fast_count
+
+    pairs = er_graph(45, 0.15, seed=23)
+    e = edges_df(spark, pairs)
+    via_compiler = (
+        compile_match(symmetrized(e), PatternGenerator.cycle(4)).df.count()
+    )
+    via_fast = cycle4_count(e).collect()[0]["cnt"]
+    assert via_fast == via_compiler
+    # dispatch picks the closed form for the cycle-4 shape
+    df = fast_count(e, PatternGenerator.cycle(4))
+    assert df is not None and df.collect()[0]["cnt"] == via_compiler
