@@ -39,7 +39,7 @@ from peregrine_spark.multimodal.assets import (
 )
 from peregrine_spark.operators.fsm import fsm, mni_support, support_at_least
 from peregrine_spark.operators.match import count_motifs, existence
-from peregrine_spark.plans.fast_counts import star_count
+from peregrine_spark.plans.fast_counts import cycle4_count, star_count
 from peregrine_spark.operators.triangles import triangle_count
 from peregrine_spark.patterns.small_graph import PatternGenerator, SmallGraph
 from peregrine_spark.plans.compiler import compile_match
@@ -393,6 +393,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return m.agg(F.count(F.lit(1)).cast("long").alias("four_cycles"))
 
     q["four_cycle_count"] = q_4cycle
+
+    def q_4cycle_fast(spark, sf_dir):
+        # closed-form wedge-pair path (sum C(common-neighbours, 2) / 2) —
+        # same oracle as the generic-compiler entry above, so BOTH physical
+        # strategies are value-checked independently
+        rel = _relabelled(spark, sf_dir)
+        return cycle4_count(rel).select(F.col("cnt").alias("four_cycles"))
+
+    q["four_cycle_fast"] = q_4cycle_fast
 
     def q_motif3(spark, sf_dir):
         rel = _relabelled(spark, sf_dir)
@@ -767,6 +776,8 @@ FROM sym ab JOIN sym bc ON bc.src = ab.dst
 JOIN sym cd ON cd.src = bc.dst
 JOIN sym da ON da.src = cd.dst AND da.dst = ab.src
 WHERE ab.src < ab.dst AND ab.src < bc.dst AND ab.src < cd.dst AND ab.dst < cd.dst"""
+
+    o["four_cycle_fast"] = o["four_cycle_count"]
 
     o["motif3_vertex_induced"] = f"""WITH e AS MATERIALIZED ({e}), sym AS ({SYM_SQL}),
 t AS (SELECT count(*) AS c FROM e e1
