@@ -15,10 +15,10 @@ ids to salt for shuffle skew (the smallest ones).
 Spark-first HOW: everything is DataFrame ops — regexp extraction for import
 edges, a window-lag chain for co-commit edges (capped fan-out: a commit with
 k files contributes k-1 chain edges, NOT a k-clique — at 10^12 files a mega-
-commit must not explode quadratically), groupBy for degrees. The only
-non-DataFrame step is ``zipWithIndex`` for contiguous rank assignment, which
-is the standard two-pass distributed idiom (per-partition counts, then
-offsets) and avoids a single-partition global Window sort.
+commit must not explode quadratically), groupBy for degrees. Contiguous rank
+assignment is :func:`contiguous_rank`: range repartition + per-partition
+offsets + a window PARTITIONED by range id — the two-pass distributed idiom,
+all JVM-side, never a single-partition global Window sort.
 """
 
 from __future__ import annotations

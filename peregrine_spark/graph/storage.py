@@ -56,13 +56,36 @@ def _drop_table_and_location(spark: SparkSession, table: str) -> None:
     catalog forgets managed tables between sessions while their directories
     survive, so a plain overwrite hits LOCATION_ALREADY_EXISTS; a real
     deployment's persistent metastore / lakehouse catalog makes this a
-    no-op."""
+    no-op.
+
+    If the table is still in the catalog, its actual location comes from
+    the catalog (authoritative — handles schema-qualified names and custom
+    locations). Otherwise the path is constructed from the parsed name
+    the way the session catalog lays out managed tables:
+    ``{warehouse}/tbl`` for unqualified names, ``{warehouse}/db.db/tbl``
+    for ``db.tbl`` — never a blind ``split('.')[-1]``, which for a
+    qualified name would miss the orphan AND could point at an unrelated
+    same-named top-level directory."""
+    parts = table.split(".")
+    if len(parts) > 2:
+        raise ValueError(f"expected 'tbl' or 'db.tbl', got {table!r}")
+    location = None
+    if spark.catalog.tableExists(table):
+        row = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+            .where("col_name = 'Location'")
+            .collect()
+        )
+        if row:
+            location = row[0]["data_type"]
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if location is None:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        rel = parts[-1] if len(parts) == 1 else f"{parts[0]}.db/{parts[1]}"
+        location = f"{warehouse}/{rel}"
     jvm = spark.sparkContext._jvm
-    jsc = spark.sparkContext._jsc
-    conf = jsc.hadoopConfiguration()
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    path = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{table.split('.')[-1]}")
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(location)
     fs = path.getFileSystem(conf)
     if fs.exists(path):
         fs.delete(path, True)

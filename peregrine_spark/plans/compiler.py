@@ -168,6 +168,13 @@ def compile_match(
             viol = viol.join(e2, [_vcol(nb), x], "left_semi")
         for q in matched:
             viol = viol.where(F.col(x) != F.col(_vcol(q)))
+        # label on the anti-vertex: a concrete label restricts the violating
+        # vertex x to that label; the -1 wildcard means ANY label violates —
+        # the reference treats a wildcard-labelled anti-vertex exactly like
+        # an unlabelled one (core/PatternMatching.hh:437-448 falls through
+        # to the unlabelled check), NOT like the partially-labelled true-
+        # vertex -1 ("a label outside the pattern's known set"). So -1 here
+        # = no label filter at all. Pinned by tests/test_matching.py.
         lab = pattern.labels.get(av)
         if lab is not None and lab != -1 and vertices is not None:
             vl = vertices.select(F.col("v").alias(x), F.col("label").alias("_xl"))

@@ -290,19 +290,26 @@ def ivf_centroids(
     strided id sample (reproducible, no RNG), optionally refined by a few
     Lloyd iterations computed as Spark aggregations (assignment via the
     JVM-side argmin below; means via groupBy(cell).avg over the unrolled
-    components). Returns a driver-side list (tiny: n_cells × dim)."""
+    components). Returns a driver-side list (tiny: n_cells × dim).
+
+    The stride rank comes from ``contiguous_rank`` (range repartition +
+    per-partition offsets — graph/build.py), NOT a global unpartitioned
+    Window: training must never funnel the whole corpus through one task.
+    """
+    from peregrine_spark.graph.build import contiguous_rank
+
     n = emb.count()
     stride = max(1, n // n_cells)
+    ranked = contiguous_rank(emb.select(id_col, vec_col), [F.col(id_col).asc()], "_rk")
     seeds = (
-        emb.withColumn(
-            "_rk",
-            F.row_number().over(Window.orderBy(F.col(id_col))),
+        ranked.where(
+            ((F.col("_rk") - 1) % stride == 0) & (F.col("_rk") <= stride * n_cells)
         )
-        .where(((F.col("_rk") - 1) % stride == 0) & (F.col("_rk") <= stride * n_cells))
-        .select(vec_col)
+        .select("_rk", vec_col)
         .collect()
     )
-    cents = [list(map(float, r[0])) for r in seeds]
+    seeds.sort(key=lambda r: r["_rk"])  # collect order is partition order
+    cents = [list(map(float, r[1])) for r in seeds]
     for _ in range(lloyd_iters):
         assigned = emb.select(
             _nearest_cell(F.col(vec_col), cents).alias("cell"),

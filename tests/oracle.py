@@ -76,7 +76,13 @@ def brute_count(
                     continue
                 common = set.intersection(*(adj.get(p, set()) for p in parents))
                 common -= set(m.values())
-                common = {x for x in common if label_ok(av, x)}
+                # anti-vertex label: -1 means ANY label violates (the
+                # reference treats a wildcard-labelled anti-vertex like an
+                # unlabelled one, core/PatternMatching.hh:437-448) — unlike
+                # the true-vertex -1 which means "outside the known set"
+                pl = pattern.labels.get(av)
+                if pl is not None and pl != -1:
+                    common = {x for x in common if labels.get(x) == pl}
                 if common:
                     ok = False
                     break

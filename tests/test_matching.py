@@ -96,6 +96,38 @@ def test_anti_vertex_oracle(spark):
     assert c == brute_count(pairs, pat)
 
 
+def test_labelled_anti_vertex_oracle(spark):
+    """Anti-vertex label variants (core/PatternMatching.hh:380-488): a
+    concrete label restricts the violating vertex to that label; the -1
+    wildcard means ANY label violates (reference: wildcard anti-vertex ==
+    unlabelled anti-vertex, :437-448)."""
+    pairs = er_graph(16, 0.3, seed=41)
+    labels = {v: (v % 3) + 1 for v in range(1, 17)}
+    vdf = spark.createDataFrame(
+        [(v, l) for v, l in labels.items()], "v long, label long"
+    )
+    # edge whose endpoints have no common neighbour OF LABEL 2
+    pat_lab = SmallGraph(
+        edges=[(1, 2)], anti_edges=[(1, 3), (2, 3)], labels={1: 1, 2: 2, 3: 2}
+    )
+    [(_, c)] = count(edges_df(spark, pairs), pat_lab, vertices=vdf)
+    assert c == brute_count(pairs, pat_lab, labels=labels)
+    # same but wildcard anti-vertex: no common neighbour of ANY label —
+    # must equal the fully-unlabelled anti-vertex count on the same match
+    pat_wild = SmallGraph(
+        edges=[(1, 2)], anti_edges=[(1, 3), (2, 3)], labels={1: 1, 2: 2, 3: -1}
+    )
+    [(_, cw)] = count(edges_df(spark, pairs), pat_wild, vertices=vdf)
+    assert cw == brute_count(pairs, pat_wild, labels=labels)
+    pat_unlab_av = SmallGraph(
+        edges=[(1, 2)], anti_edges=[(1, 3), (2, 3)], labels={1: 1, 2: 2}
+    )
+    [(_, cu)] = count(edges_df(spark, pairs), pat_unlab_av, vertices=vdf)
+    assert cw == cu
+    # sanity: the labelled variant can only admit more matches
+    assert c >= cw
+
+
 def test_motif_counts_vertex_induced(spark):
     pairs = er_graph(15, 0.35, seed=23)
     e = edges_df(spark, pairs)
