@@ -221,7 +221,11 @@ def _inj_hom_sql(p) -> tuple[str, str]:
         for j in range(i + 1, len(vs)):
             if (vs[i], vs[j]) not in eset:
                 conds.append(f"{var[vs[i]]} <> {var[vs[j]]}")
-    return ", ".join(froms), (" WHERE " + " AND ".join(conds)) if conds else ""
+    return (
+        ", ".join(froms),
+        (" WHERE " + " AND ".join(conds)) if conds else "",
+        var,
+    )
 
 
 def _pattern_oracle_sql(p, alias: str) -> str:
@@ -230,7 +234,7 @@ def _pattern_oracle_sql(p, alias: str) -> str:
     symmetry-breaking compiler."""
     from peregrine_spark.patterns.canonical import automorphisms
 
-    frm, whr = _inj_hom_sql(p)
+    frm, whr, _ = _inj_hom_sql(p)
     aut = len(automorphisms(p))
     return (
         f"WITH e AS MATERIALIZED ({_e_sql()}), sym AS MATERIALIZED ({SYM_SQL})\n"
@@ -253,7 +257,7 @@ def _motif_oracle_sql(size: int, filt: str) -> str:
         f"sym AS MATERIALIZED ({SYM_SQL})",
     ]
     for i, p in enumerate(pats):
-        frm, whr = _inj_hom_sql(p)
+        frm, whr, _ = _inj_hom_sql(p)
         aut = len(automorphisms(p))
         # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and the
         # chained v{i} references below would expand exponentially.
@@ -279,6 +283,162 @@ def _motif_oracle_sql(size: int, filt: str) -> str:
         for i in range(len(pats))
     )
     return ",\n".join(parts) + f"\nSELECT * FROM ({rows})"
+
+
+def _motif_edge_oracle_sql(size: int, filt: str) -> str:
+    """EDGE-induced k-motif counts (no downward-closure conversion —
+    oracles the raw matcher output the way truth/4m-edge.txt does for the
+    reference): per pattern, injective-hom count / |Aut|."""
+    from peregrine_spark.patterns.canonical import automorphisms
+
+    pats = PatternGenerator.all(size, vertex_based=False)
+    rows = []
+    for i, p in enumerate(pats):
+        frm, whr, _ = _inj_hom_sql(p)
+        aut = len(automorphisms(p))
+        rows.append(
+            f"SELECT CAST({i} AS BIGINT) AS pattern_id,"
+            f" CAST({p.num_true_edges} AS BIGINT) AS pattern_edges,"
+            f" CAST((SELECT count(*) FROM {frm}{whr}) // {aut} AS BIGINT) AS cnt"
+        )
+    return (
+        f"WITH e AS MATERIALIZED ({_e_sql(filt)}),\n"
+        f"sym AS MATERIALIZED ({SYM_SQL})\n"
+        "SELECT * FROM (" + " UNION ALL ".join(rows) + ")"
+    )
+
+
+# reference shapes for every connected pattern with <= 4 vertices, in a FIXED
+# vertex numbering both the SQL oracle and the driver-side key share
+_FSM4_SHAPES: dict[str, "SmallGraph"] = {}
+
+
+def _fsm4_shapes() -> dict[str, "SmallGraph"]:
+    if not _FSM4_SHAPES:
+        _FSM4_SHAPES.update(
+            {
+                "edge": SmallGraph(edges=[(1, 2)]),
+                "wedge": SmallGraph(edges=[(1, 2), (1, 3)]),
+                "triangle": SmallGraph(edges=[(1, 2), (1, 3), (2, 3)]),
+                "path4": SmallGraph(edges=[(1, 2), (2, 3), (3, 4)]),
+                "star4": SmallGraph(edges=[(1, 2), (1, 3), (1, 4)]),
+                "cycle4": SmallGraph(edges=[(1, 2), (2, 3), (3, 4), (1, 4)]),
+                "paw": SmallGraph(edges=[(1, 2), (1, 3), (2, 3), (3, 4)]),
+                "diamond": SmallGraph(
+                    edges=[(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]
+                ),
+                "k4": SmallGraph(
+                    edges=[(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+                ),
+            }
+        )
+    return _FSM4_SHAPES
+
+
+def _shape_and_key(g) -> tuple[str, str]:
+    """(shape name, canonical label key) of a fully-labelled pattern with
+    <= 4 vertices. The key is the lexicographic MIN over all isomorphisms
+    g -> reference-shape of the comma-joined labels read in the reference
+    shape's vertex order — exactly the ``least()``-over-automorphisms the
+    SQL oracle computes, so strings match iff the labelled patterns are
+    isomorphic. Labels are single digits here (v % 5), so string order ==
+    numeric order."""
+    import itertools as _it
+
+    es = {tuple(sorted(e)) for e in g.true_edges()}
+    for name, R in _fsm4_shapes().items():
+        if R.num_vertices != g.num_vertices or R.num_true_edges != len(es):
+            continue
+        rvs = sorted(R.vertices)
+        res_edges = [tuple(sorted(e)) for e in R.true_edges()]
+        best = None
+        for perm in _it.permutations(sorted(g.vertices)):
+            f = dict(zip(rvs, perm))
+            if all(tuple(sorted((f[a], f[b]))) in es for a, b in res_edges):
+                key = ",".join(str(int(g.labels[f[i]])) for i in rvs)
+                best = key if best is None or key < best else best
+        if best is not None:
+            return name, best
+    raise ValueError(f"no <=4-vertex shape matches {g.to_string()}")
+
+
+def _fsm_mni_oracle_sql(filt: str, support: int) -> str:
+    """MNI supports of every labelled pattern with <= 4 vertices at
+    threshold ``support`` — the injective-homomorphism-domain formulation:
+    per shape, enumerate ALL inj-homs (closed under automorphism, so the
+    per-position distinct counts ARE the reference's orbit domains —
+    cf. the l1=l2 union-domain case of _fsm3_oracle_sql), group by the
+    least()-over-automorphisms canonical label key, min over positions.
+    Fully independent of the engine's matcher, symmetry-breaking AND its
+    level-wise search (MNI anti-monotonicity makes the searches coincide).
+    """
+    from peregrine_spark.patterns.canonical import automorphisms
+
+    parts = [
+        f"WITH e AS MATERIALIZED ({_e_sql(filt)})",
+        f"sym AS MATERIALIZED ({SYM_SQL})",
+        "lab AS MATERIALIZED (SELECT DISTINCT src AS v, src % 5 AS label FROM sym)",
+    ]
+    unions = []
+    for name, R in _fsm4_shapes().items():
+        k = R.num_vertices
+        rvs = sorted(R.vertices)
+        pos = {v: j for j, v in enumerate(rvs, 1)}
+        frm, whr, var = _inj_hom_sql(R)
+        sel = ", ".join(f"{var[v]} AS v{pos[v]}" for v in rvs)
+        parts.append(f"h_{name} AS MATERIALIZED (SELECT {sel} FROM {frm}{whr})")
+        labjoin = " ".join(
+            f"JOIN lab b{j} ON b{j}.v = h.v{j}" for j in range(1, k + 1)
+        )
+        keys = []
+        for a in automorphisms(R):
+            keys.append(
+                "concat_ws(','," + ",".join(f"b{pos[a[v]]}.label" for v in rvs) + ")"
+            )
+        key_expr = keys[0] if len(keys) == 1 else "least(" + ", ".join(keys) + ")"
+        vcols = ", ".join(f"h.v{j}" for j in range(1, k + 1))
+        parts.append(
+            f"lh_{name} AS MATERIALIZED (SELECT {vcols}, {key_expr} AS lkey "
+            f"FROM h_{name} h {labjoin})"
+        )
+        dom = " UNION ALL ".join(
+            f"SELECT lkey, {j} AS pos, v{j} AS v FROM lh_{name}"
+            for j in range(1, k + 1)
+        )
+        parts.append(
+            f"d_{name} AS (SELECT lkey, pos, count(DISTINCT v) AS d "
+            f"FROM ({dom}) GROUP BY 1, 2)"
+        )
+        unions.append(
+            f"SELECT '{name}' AS shape, lkey AS labels, "
+            f"CAST(min(d) AS BIGINT) AS support FROM d_{name} GROUP BY lkey"
+        )
+    return (
+        ",\n".join(parts)
+        + "\nSELECT * FROM ("
+        + " UNION ALL ".join(unions)
+        + f") WHERE support >= {support}"
+    )
+
+
+def _kcore_oracle_sql(k: int, rounds: int, filt: str | None = None) -> str:
+    """Edges of the k-core by ``rounds`` unrolled peel iterations (each:
+    degrees on the surviving edge set, keep vertices with degree >= k,
+    keep edges with both endpoints kept). ``rounds`` must cover the
+    fixpoint at the test scale — the engine peels to convergence, so the
+    results agree iff the unroll converged too (verified empirically with
+    margin at sf 0.01)."""
+    parts = [f"WITH e AS MATERIALIZED ({_e_sql(filt)})", "p0 AS (SELECT src, dst FROM e)"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS (SELECT v FROM (SELECT src AS v FROM p{i-1} "
+            f"UNION ALL SELECT dst FROM p{i-1}) GROUP BY v HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT p.src, p.dst FROM p{i-1} p "
+            f"JOIN d{i} a ON a.v = p.src JOIN d{i} b ON b.v = p.dst)"
+        )
+    return ",\n".join(parts) + f"\nSELECT src, dst FROM p{rounds}"
 
 
 def _fsm3_oracle_sql(filt: str, support: int) -> str:
@@ -741,6 +901,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_sessions"] = q_sessions
 
+    # -- reference-truth parity tier: the data graph is the reference's OWN
+    # committed citeseer dataset (loaded from its binary format,
+    # core/DataGraph.cc:64-154) and the oracle is its OWN committed truth
+    # (core/integrationtests/truth/*.txt, README.md:77-129) as SQL
+    # literals — not a recomputation. tests/test_citeseer.py extends this
+    # to 5m/6m vectors, FSM-to-4-edges and per-pattern MNI supports.
+    def q_citeseer_4motifs(spark, sf_dir):
+        from peregrine_spark.graph.binfmt import load_bin_graph
+        from peregrine_spark.patterns.canonical import canonical_relabel
+        from peregrine_spark.plans.counts import convert_counts
+
+        edges, _ = load_bin_graph(spark, "/root/reference/data/citeseer")
+        edges = edges.localCheckpoint()
+        ei = count_motifs(edges, 4, vertex_induced=False)
+        vi = {p: c for p, c in convert_counts(ei)}  # keyed by canonical eq
+        rows = sorted(
+            (canonical_relabel(p).to_string(), int(c), int(vi[p]))
+            for p, c in ei
+        )
+        return spark.createDataFrame(
+            rows, "pattern string, edge_induced long, vertex_induced long"
+        )
+
+    q["citeseer_4motifs"] = q_citeseer_4motifs
+
+    def q_citeseer_fsm3(spark, sf_dir):
+        # the README's own flagship example (README.md:100-105): size-3
+        # (edge-count) FSM at support 300 on citeseer
+        from peregrine_spark.graph.binfmt import load_bin_graph
+        from peregrine_spark.operators.fsm import fsm
+        from peregrine_spark.patterns.canonical import canonical_relabel
+
+        edges, vertices = load_bin_graph(spark, "/root/reference/data/citeseer")
+        edges = edges.localCheckpoint()
+        vertices = vertices.localCheckpoint()
+        res = fsm(edges, vertices, support=300, max_vertices=4, max_edges=3)
+        rows = sorted(
+            (canonical_relabel(p).to_string(), int(s))
+            for p, s in res
+            if p.num_true_edges >= 2
+        )
+        return spark.createDataFrame(rows, "pattern string, support long")
+
+    q["citeseer_fsm3"] = q_citeseer_fsm3
+
     return q
 
 
@@ -1029,5 +1234,56 @@ sess AS (
 SELECT user_id, epoch_us(min(ts)) AS session_start_us,
        epoch_us(max(ts)) AS session_end_us, CAST(count(*) AS BIGINT) AS n_events
 FROM sess GROUP BY user_id, session_id"""
+
+    # -- citeseer reference-truth oracles: literal VALUES built from the
+    # reference's OWN committed truth files (core/integrationtests/truth/,
+    # cf. Matching_test.hh) — the oracle IS the reference's answer, not a
+    # DuckDB recomputation. Pattern keys go through the same
+    # canonical_relabel as the Spark side, so strings match iff isomorphic.
+    from peregrine_spark.graph.binfmt import read_truth_file
+    from peregrine_spark.patterns.canonical import canonical_form, canonical_relabel
+    from peregrine_spark.patterns.small_graph import SmallGraph
+
+    truth_dir = "/root/reference/core/integrationtests/truth"
+
+    def _lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def _strip(p):
+        return SmallGraph(edges=p.true_edges())
+
+    ei_truth = read_truth_file(f"{truth_dir}/4m-edge.txt")
+    vi_by_canon = {
+        canonical_form(_strip(p)): int(c)
+        for p, c in read_truth_file(f"{truth_dir}/4m.txt")
+    }
+    m4_rows = sorted(
+        (
+            canonical_relabel(_strip(p)).to_string(),
+            int(c),
+            vi_by_canon[canonical_form(_strip(p))],
+        )
+        for p, c in ei_truth
+    )
+    vals = ",\n  ".join(
+        f"({_lit(s)}, CAST({ei} AS BIGINT), CAST({vi} AS BIGINT))"
+        for s, ei, vi in m4_rows
+    )
+    o["citeseer_4motifs"] = (
+        "SELECT * FROM (VALUES\n  " + vals
+        + "\n) AS t(pattern, edge_induced, vertex_induced)"
+    )
+
+    fsm_rows = sorted(
+        (canonical_relabel(p).to_string(), int(s))
+        for p, s in read_truth_file(f"{truth_dir}/cs-supports.txt")
+        if s >= 300 and 2 <= p.num_true_edges <= 3
+    )
+    vals = ",\n  ".join(
+        f"({_lit(s)}, CAST({sup} AS BIGINT))" for s, sup in fsm_rows
+    )
+    o["citeseer_fsm3"] = (
+        "SELECT * FROM (VALUES\n  " + vals + "\n) AS t(pattern, support)"
+    )
 
     return o

@@ -117,6 +117,49 @@ def symmetrized(edges: DataFrame) -> DataFrame:
     return edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 
+def kcore(edges: DataFrame, k: int, max_iters: int = 100) -> DataFrame:
+    """Edges of the k-core (maximal subgraph with min degree >= k) of a
+    canonical (src<dst) edge table — iterative peel: drop vertices with
+    degree < k, keep edges with both endpoints surviving, repeat to
+    fixpoint.
+
+    The Spark-first analogue of the reference DFS matcher's degree pruning
+    (it never explores a vertex whose degree can't host the pattern): a
+    handful of groupBy+semi-join rounds on a monotonically SHRINKING edge
+    set. At scale each round is one shuffle over the surviving edges only;
+    convergence is detected by edge count (monotone decreasing, so equality
+    means fixpoint). The driver loop eagerly ``localCheckpoint``s each
+    round — the logical plan must be TRUNCATED, not just cached: a persist
+    keeps the lineage growing and Catalyst re-analysis goes superlinear
+    after tens of peel rounds. Typical use: ``kcore(edges, kq - 1)`` is an
+    EXACT reducer for kq-clique existence/counting — every kq-clique lives
+    in the (kq-1)-core."""
+    cur = edges.localCheckpoint(eager=True)
+    n = cur.count()
+    for _ in range(max_iters):
+        if n == 0:
+            break
+        deg = (
+            symmetrized(cur)
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= k)
+            .select("v")
+        )
+        nxt = (
+            cur.join(deg.select(F.col("v").alias("src")), "src", "left_semi")
+            .join(deg.select(F.col("v").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        m = nxt.count()
+        cur = nxt
+        if m == n:
+            break
+        n = m
+    return cur
+
+
 def contiguous_rank(
     df: DataFrame, order_cols: list, rank_col: str = "_rank"
 ) -> DataFrame:

@@ -301,9 +301,16 @@ def fsm(
     max_vertices: int = 3,
     discover: bool = True,
     level_chunk: int = 4,
+    max_edges: int | None = None,
 ) -> list[tuple[SmallGraph, int]]:
     """Mine labelled patterns with MNI support >= ``support`` up to
     ``max_vertices`` pattern vertices. Returns fully-labelled patterns only.
+
+    ``max_edges``: optional cap on pattern TRUE-edge count — the reference's
+    fsm app sizes levels by edges (apps/fsm.cc:94-110; a "size 3" run mines
+    up to 3-edge patterns, which may have 4 vertices). When set, it bounds
+    candidates alongside ``max_vertices`` (pass max_vertices=max_edges+1 to
+    make edges the only binding cap).
 
     level_chunk: how many candidate match-plans are unioned per query;
     chunks run concurrently on driver threads (see
@@ -401,6 +408,8 @@ def fsm(
         )
         for h in grown:
             cf = canonical_form(h)
+            if max_edges is not None and h.num_true_edges > max_edges:
+                continue
             if h.num_vertices <= max_vertices and cf not in attempted:
                 attempted.add(cf)
                 nxt.append(h)

@@ -114,7 +114,36 @@ def count_motifs(
 def existence(
     edges: DataFrame, pattern: SmallGraph, vertices: DataFrame | None = None
 ) -> bool:
-    """Does the pattern occur at all? LIMIT-1 early termination."""
+    """Does the pattern occur at all? LIMIT-1 early termination.
+
+    Unlabelled k-clique queries prune to the (k-1)-core FIRST (exact:
+    every k-clique lives in the (k-1)-core) — the Spark-first analogue of
+    the reference DFS matcher's degree pruning, which is how it answers
+    ``14-clique in citeseer?`` in milliseconds (README.md:117-120). A
+    91-edge clique pattern through the generic join compiler would build a
+    91-join plan; the core peel instead empties the graph in a few
+    shuffles over a shrinking edge set, and only a surviving core (tiny by
+    construction) pays for the oriented clique join chain."""
+    import itertools as _it
+
+    if vertices is None and not pattern.labels and not pattern.anti_edge_list():
+        k = pattern.num_vertices
+        pairs = set(_it.combinations(sorted(pattern.vertices), 2))
+        if k >= 3 and {tuple(e) for e in pattern.true_edges()} == pairs:
+            from peregrine_spark.graph.build import kcore
+            from peregrine_spark.plans.fast_counts import clique_count
+
+            # a PARTIAL peel is still an exact reducer (every round only
+            # removes vertices that cannot be in a k-clique), so cap the
+            # rounds: low-k peels converge slowly and the post-peel count
+            # is cheap anyway
+            core = kcore(edges, k - 1, max_iters=8)
+            try:
+                if not core.limit(1).take(1):
+                    return False
+                return int(clique_count(core, k).collect()[0]["cnt"]) > 0
+            finally:
+                core.unpersist()
     df = match(edges, pattern, vertices)
     return len(df.limit(1).take(1)) > 0
 

@@ -35,13 +35,21 @@ def _oriented(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame, pre_oriented: bool = False) -> DataFrame:
     """Total triangle count. ``edges`` is the canonical (src<dst) table with
     degree-descending ids (any consistent ids work; degree-descending ids
-    make the oriented fan-out sqrt-bounded). Returns 1 row: (triangles)."""
-    e = _oriented(edges).alias("e1")
-    e2 = _oriented(edges).alias("e2")
-    e3 = _oriented(edges).alias("e3")
+    make the oriented fan-out sqrt-bounded). Returns 1 row: (triangles).
+
+    ``pre_oriented=True`` asserts the input is ALREADY degree-oriented
+    (higher id → lower id) and skips the greatest/least swap. This matters
+    for bucketed storage: the swap is opaque to Catalyst, so a table
+    bucketed by ``src`` only feeds the wedge self-join shuffle-free when
+    the stored layout is the oriented one (see graph/storage.py and
+    ``bench.py --bucketed``)."""
+    orient = (lambda df: df) if pre_oriented else _oriented
+    e = orient(edges).alias("e1")
+    e2 = orient(edges).alias("e2")
+    e3 = orient(edges).alias("e3")
     wedges = e.join(
         e2,
         (F.col("e1.src") == F.col("e2.src")) & (F.col("e1.dst") > F.col("e2.dst")),

@@ -1,0 +1,160 @@
+"""Golden-count parity against the reference's OWN committed truth on the
+reference's OWN dataset (citeseer: 3,264 vertices / 4,536 edges).
+
+Every expected number in this module is read from an artifact the reference
+repo ships, never recomputed here:
+
+* ``core/integrationtests/truth/{4,5,6}m.txt``      — vertex-induced motif
+  vectors (anti-edges explicit in the pattern strings);
+* ``core/integrationtests/truth/{4,5,6}m-edge.txt`` — edge-induced vectors;
+* ``core/integrationtests/truth/cs-supports.txt``   — labelled MNI supports
+  for every 2/3/4-edge pattern (threshold 1), the data behind
+  ``core/integrationtests/Matching_test.hh:5-99``;
+* README.md:77-78 (wedge 23380 / triangle 1166), :94 (p1 = 3730),
+  :117-120 (no 14-clique), :129 (induced wedge via anti-edge = 23380).
+
+This converts "the engine agrees with our synthetic DuckDB oracles" into
+"the engine agrees with the reference's committed truth on the reference's
+data" — an end-to-end check of the binary loader, the join compiler, the
+fast-count closed forms, convert_counts, and the FSM stack at once.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from peregrine_spark.graph.binfmt import (
+    load_bin_graph,
+    pattern_from_string,
+    read_truth_file,
+)
+from peregrine_spark.operators.fsm import fsm, mni_support
+from peregrine_spark.operators.match import (
+    count,
+    count_motifs,
+    existence,
+    match,
+)
+from peregrine_spark.patterns.canonical import canonical_form
+from peregrine_spark.patterns.small_graph import PatternGenerator, SmallGraph
+from peregrine_spark.plans.counts import convert_counts
+
+CITESEER = "/root/reference/data/citeseer"
+TRUTH = "/root/reference/core/integrationtests/truth"
+
+
+def _strip(p: SmallGraph) -> SmallGraph:
+    return SmallGraph(edges=p.true_edges())
+
+
+@pytest.fixture(scope="module")
+def citeseer(spark):
+    edges, vertices = load_bin_graph(spark, CITESEER)
+    edges = edges.persist()
+    vertices = vertices.persist()
+    assert edges.count() == 4536
+    assert vertices.count() == 3264
+    yield edges, vertices
+    edges.unpersist()
+    vertices.unpersist()
+
+
+def test_readme_3motifs(citeseer):
+    edges, _ = citeseer
+    got = {
+        p.num_true_edges: c
+        for p, c in count_motifs(edges, 3, vertex_induced=True)
+    }
+    assert got[2] == 23380  # README.md:77 (induced wedge)
+    assert got[3] == 1166  # README.md:78 (triangle)
+
+
+@pytest.mark.parametrize("size", [4, 5])
+def test_motif_vectors_match_truth(citeseer, size):
+    """Full k-motif vectors, BOTH induced semantics, from ONE matching pass:
+    edge-induced counts come from the engine, vertex-induced from
+    convert_counts (core/Peregrine.hh:1202-1218) — each compared against its
+    own committed truth file."""
+    edges, _ = citeseer
+    ei = count_motifs(edges, size, vertex_induced=False)
+    got_ei = {canonical_form(p): c for p, c in ei}
+    for p, want in read_truth_file(f"{TRUTH}/{size}m-edge.txt"):
+        assert got_ei[canonical_form(_strip(p))] == want
+    got_vi = {canonical_form(p): c for p, c in convert_counts(ei)}
+    for p, want in read_truth_file(f"{TRUTH}/{size}m.txt"):
+        assert got_vi[canonical_form(_strip(p))] == want
+
+
+@pytest.mark.parametrize("fname", ["6m-edge.txt", "6m.txt"])
+def test_6motif_sampled_truth(citeseer, fname):
+    """6-vertex patterns through the GENERIC compiler (anti-edges explicit
+    for the vertex-induced file — no convert_counts involved): a seeded
+    sample keeps the suite fast; the full 112-pattern vectors were verified
+    once interactively (all green)."""
+    edges, _ = citeseer
+    truth = read_truth_file(f"{TRUTH}/{fname}")
+    small = [(p, c) for p, c in truth if c <= 200_000]
+    rng = random.Random(6)
+    for p, want in rng.sample(small, 4):
+        [(_, got)] = count(edges, p)
+        assert got == want, p.to_string()
+
+
+def test_readme_p1_and_induced_wedge(citeseer):
+    edges, _ = citeseer
+    p1 = pattern_from_string("[3-4][1-2][1-3][1-4][2-3]")
+    [(_, c)] = count(edges, p1)
+    assert c == 3730  # README.md:94
+    w = pattern_from_string("[1-3](1~2)[2-3]")
+    [(_, cw)] = count(edges, w)
+    assert cw == 23380  # README.md:129
+
+
+def test_readme_clique_existence(citeseer):
+    edges, _ = citeseer
+    # README.md:117-120: no 14-clique in citeseer. The 91-edge pattern
+    # never reaches the join compiler — the (k-1)-core peel empties first.
+    assert not existence(edges, PatternGenerator.clique(14))
+    assert existence(edges, PatternGenerator.clique(4))  # 255 of them
+
+
+def test_fsm_supports_match_truth(citeseer):
+    """FSM to 4-edge patterns at threshold 250 vs cs-supports.txt filtered
+    at the same threshold (exact expected set: MNI is anti-monotone, so
+    every >=250 pattern's parents are >=250 and reachable). Exercises the
+    labelled join compiler, wildcard (-1) growth, per-label vector
+    aggregation, level batching AND the 4-edge/5-vertex level the round-2
+    suite never reached. Threshold 200 (14 patterns) verified
+    interactively; 250 (8 patterns) keeps the suite fast."""
+    edges, vertices = citeseer
+    threshold = 250
+    res = fsm(edges, vertices, support=threshold, max_vertices=5, max_edges=4)
+    got = {
+        canonical_form(p): s for p, s in res if p.num_true_edges >= 2
+    }
+    want = {
+        canonical_form(p): s
+        for p, s in read_truth_file(f"{TRUTH}/cs-supports.txt")
+        if s >= threshold
+    }
+    assert got == want
+    assert any(p.num_true_edges == 4 for p, s in res)  # the new level
+
+
+def test_mni_sampled_threshold1_truth(citeseer):
+    """Per-pattern MNI supports at threshold 1 — seeded picks straight from
+    cs-supports.txt, computed as match + mni_support with no FSM loop
+    around them (isolates the Domain aggregation semantics,
+    apps/Domain.hh:76-87)."""
+    edges, vertices = citeseer
+    truth = read_truth_file(f"{TRUTH}/cs-supports.txt")
+    rng = random.Random(11)
+    by_level = {2: [], 3: [], 4: []}
+    for p, s in truth:
+        by_level[p.num_true_edges].append((p, s))
+    for lvl in (2, 3, 4):
+        for p, want in rng.sample(by_level[lvl], 2):
+            m = match(edges, p, vertices=vertices)
+            assert mni_support(m, p) == want, p.to_string()

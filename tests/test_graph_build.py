@@ -107,3 +107,32 @@ def test_powerlaw_edges_deterministic_hub(spark):
     # relabelled: vertex 1 is the hub, and it dwarfs the median vertex
     assert top[0]["v"] == 1
     assert top[0]["degree"] > 50
+
+
+def test_kcore_matches_brute_peel(spark):
+    from peregrine_spark.graph.build import kcore
+    from tests.oracle import er_graph
+    from tests.conftest import edges_df
+
+    pairs = er_graph(40, 0.12, seed=7)
+
+    def brute(pairs, k):
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for v in [v for v, ns in adj.items() if len(ns) < k]:
+                for u in adj.pop(v):
+                    adj[u].discard(v)
+                changed = True
+        return {
+            (min(a, b), max(a, b)) for a, ns in adj.items() for b in ns
+        }
+
+    e = edges_df(spark, pairs)
+    for k in (2, 3, 4, 10):
+        got = {(r["src"], r["dst"]) for r in kcore(e, k).collect()}
+        assert got == brute({(min(a, b), max(a, b)) for a, b in pairs if a != b}, k), k

@@ -213,3 +213,44 @@ def test_operators_accept_pinned_partitions(spark):
     assert {tuple(r) for r in c1.state.collect()} == {
         tuple(r) for r in c2.state.collect()
     }
+
+
+def test_resume_from_torn_checkpoint(spark, tmp_path):
+    """Kill-mid-write simulation: a superstep whose parquet dir lost its
+    _SUCCESS marker (exactly what a mid-write kill leaves behind) must be
+    treated as incomplete — resume restarts from the last COMPLETE step,
+    re-runs the torn one, and the final ranks equal an uninterrupted run.
+    This is the north-rule fault-tolerance path end-to-end: atomicity via
+    the commit marker, idempotent overwrite of the torn step, metrics
+    truncated to the resumed-from iteration."""
+    pairs = er_graph(30, 0.15, seed=47)
+    e = edges_df(spark, pairs)
+    full = pagerank(
+        e,
+        max_iters=8,
+        tol=0.0,
+        engine=SuperstepEngine(spark, str(tmp_path / "full"), run_id="pr"),
+    )
+
+    eng = SuperstepEngine(spark, str(tmp_path / "part"), run_id="pr")
+    pagerank(e, max_iters=5, tol=0.0, engine=eng)
+    # tear the LAST checkpoint: step 4's _SUCCESS vanishes mid-write
+    torn = tmp_path / "part" / "pr" / "step=00004"
+    (torn / "_SUCCESS").unlink()
+    assert eng._complete_steps() == [0, 1, 2, 3]
+
+    resumed = pagerank(e, max_iters=8, tol=0.0, engine=eng, resume=True)
+    gf = {r["v"]: r["rank"] for r in full.state.collect()}
+    gr = {r["v"]: r["rank"] for r in resumed.state.collect()}
+    assert gf.keys() == gr.keys()
+    for v in gf:
+        assert abs(gf[v] - gr[v]) < 1e-6
+
+    # the torn step was re-run and re-committed atomically
+    assert (torn / "_SUCCESS").exists()
+    lines = [
+        json.loads(l)
+        for l in (tmp_path / "part" / "pr" / "metrics.jsonl").read_text().splitlines()
+    ]
+    # metrics: 0..4 from the first run, then 4..7 re-appended by the resume
+    assert [m["iteration"] for m in lines] == [0, 1, 2, 3, 4, 4, 5, 6, 7]
