@@ -81,6 +81,10 @@ from peregrine_spark.streaming.windows import (
 CC_FILTER = "l_quantity <= 3"  # sparser subgraph -> many components
 MOTIF5_FILTER = "l_quantity <= 8"  # ~2.5k edges, max degree ~10: 5-motifs tractable
 FSM3_SUPPORT = 50  # prunes ~1/3 of labelled wedges; triangles all infrequent
+FSM4_SUPPORT = 90  # with 3 labels keeps path-4/star-4 shapes frequent
+FSM4_MOD = 3  # label cardinality for fsm_size4: fewer labels -> smaller
+# labelled-candidate space at the 3-edge level and higher 4-vertex supports
+KCORE_ROUNDS = 16  # unrolled SQL peel rounds; engine fixpoint < this at sf<=0.01
 
 # reference query/p1.graph verbatim (4-vertex diamond = K4 minus (2,4))
 P1_DIAMOND = SmallGraph(edges=[(1, 2), (1, 3), (1, 4), (2, 3), (3, 4)])
@@ -362,7 +366,7 @@ def _shape_and_key(g) -> tuple[str, str]:
     raise ValueError(f"no <=4-vertex shape matches {g.to_string()}")
 
 
-def _fsm_mni_oracle_sql(filt: str, support: int) -> str:
+def _fsm_mni_oracle_sql(filt: str, support: int, mod: int = 5) -> str:
     """MNI supports of every labelled pattern with <= 4 vertices at
     threshold ``support`` — the injective-homomorphism-domain formulation:
     per shape, enumerate ALL inj-homs (closed under automorphism, so the
@@ -377,7 +381,7 @@ def _fsm_mni_oracle_sql(filt: str, support: int) -> str:
     parts = [
         f"WITH e AS MATERIALIZED ({_e_sql(filt)})",
         f"sym AS MATERIALIZED ({SYM_SQL})",
-        "lab AS MATERIALIZED (SELECT DISTINCT src AS v, src % 5 AS label FROM sym)",
+        f"lab AS MATERIALIZED (SELECT DISTINCT src AS v, src % {mod} AS label FROM sym)",
     ]
     unions = []
     for name, R in _fsm4_shapes().items():
@@ -390,28 +394,39 @@ def _fsm_mni_oracle_sql(filt: str, support: int) -> str:
         labjoin = " ".join(
             f"JOIN lab b{j} ON b{j}.v = h.v{j}" for j in range(1, k + 1)
         )
-        keys = []
-        for a in automorphisms(R):
-            keys.append(
-                "concat_ws(','," + ",".join(f"b{pos[a[v]]}.label" for v in rvs) + ")"
-            )
-        key_expr = keys[0] if len(keys) == 1 else "least(" + ", ".join(keys) + ")"
         vcols = ", ".join(f"h.v{j}" for j in range(1, k + 1))
+        lcols = ", ".join(f"b{j}.label AS l{j}" for j in range(1, k + 1))
         parts.append(
-            f"lh_{name} AS MATERIALIZED (SELECT {vcols}, {key_expr} AS lkey "
+            f"lh_{name} AS MATERIALIZED (SELECT {vcols}, {lcols} "
             f"FROM h_{name} h {labjoin})"
         )
+        ls = ", ".join(f"l{j}" for j in range(1, k + 1))
+        # domains per RAW label tuple + position: automorphic images of a
+        # tuple only share rows when the automorphism FIXES the tuple — the
+        # reference's union-domain case for symmetric equal-label positions
+        # — never across distinct (but isomorphic) tuples, whose positions
+        # must not mix
         dom = " UNION ALL ".join(
-            f"SELECT lkey, {j} AS pos, v{j} AS v FROM lh_{name}"
+            f"SELECT {ls}, {j} AS pos, v{j} AS v FROM lh_{name}"
             for j in range(1, k + 1)
         )
         parts.append(
-            f"d_{name} AS (SELECT lkey, pos, count(DISTINCT v) AS d "
-            f"FROM ({dom}) GROUP BY 1, 2)"
+            f"d_{name} AS (SELECT {ls}, pos, count(DISTINCT v) AS d "
+            f"FROM ({dom}) GROUP BY ALL)"
+        )
+        keys = []
+        for a in automorphisms(R):
+            keys.append(
+                "concat_ws(','," + ",".join(f"l{pos[a[v]]}" for v in rvs) + ")"
+            )
+        key_expr = keys[0] if len(keys) == 1 else "least(" + ", ".join(keys) + ")"
+        parts.append(
+            f"s_{name} AS (SELECT {key_expr} AS lkey, min(d) AS support "
+            f"FROM d_{name} GROUP BY {ls})"
         )
         unions.append(
             f"SELECT '{name}' AS shape, lkey AS labels, "
-            f"CAST(min(d) AS BIGINT) AS support FROM d_{name} GROUP BY lkey"
+            f"CAST(min(support) AS BIGINT) AS support FROM s_{name} GROUP BY lkey"
         )
     return (
         ",\n".join(parts)
@@ -582,6 +597,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["motif5_vertex_induced"] = q_motif5
 
+    def q_motif4_edge(spark, sf_dir):
+        # EDGE-induced 4-motif vector straight off the matcher — the
+        # non-converted counting path (truth/4m-edge.txt semantics),
+        # oracled by injective-hom / |Aut| per pattern
+        rel, _ = relabel_by_degree(_edges(spark, sf_dir, MOTIF5_FILTER))
+        rel = rel.localCheckpoint()
+        res = count_motifs(rel, 4, vertex_induced=False)
+        rows = [(i, int(p.num_true_edges), int(c)) for i, (p, c) in enumerate(res)]
+        return spark.createDataFrame(rows, "pattern_id long, pattern_edges long, cnt long")
+
+    q["motif4_edge_induced"] = q_motif4_edge
+
     def q_induced_wedge(spark, sf_dir):
         # wedge with an anti-edge between the leaves -> LEFT ANTI join
         # against the edge table (M4); equals wedges - 3*triangles
@@ -696,6 +723,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fsm_size3"] = q_fsm3
+
+    def q_fsm4(spark, sf_dir):
+        # one level past fsm_size3: 4-vertex labelled patterns (path-4,
+        # star-4, cycle-4, paw, diamond, K4 shapes) where wildcard growth
+        # and level batching genuinely compound; rows keyed by the
+        # least-over-isomorphisms label string shared with the SQL oracle
+        edges = _edges(spark, sf_dir, MOTIF5_FILTER)
+        verts = (
+            symmetrized(edges)
+            .select(F.col("src").alias("v"))
+            .distinct()
+            .select("v", (F.col("v") % FSM4_MOD).alias("label"))
+        )
+        res = fsm(edges, verts, support=FSM4_SUPPORT, max_vertices=4)
+        rows = sorted((*_shape_and_key(g), int(s)) for g, s in res)
+        return spark.createDataFrame(rows, "shape string, labels string, support long")
+
+    q["fsm_size4"] = q_fsm4
+
+    def q_kcore(spark, sf_dir):
+        # 3-core edge set via the iterative peel (the clique-existence
+        # reducer), oracled by an unrolled peel in SQL
+        from peregrine_spark.graph.build import kcore
+
+        return kcore(_edges(spark, sf_dir), 3).select("src", "dst")
+
+    q["kcore3_edges"] = q_kcore
 
     # -- degree / ingest tier ----------------------------------------------
     def q_deg_hist(spark, sf_dir):
@@ -994,6 +1048,9 @@ UNION ALL
 SELECT CAST(3 AS BIGINT), CAST(t.c AS BIGINT) FROM t"""
 
     o["motif5_vertex_induced"] = _motif_oracle_sql(5, MOTIF5_FILTER)
+    o["motif4_edge_induced"] = _motif_edge_oracle_sql(4, MOTIF5_FILTER)
+    o["fsm_size4"] = _fsm_mni_oracle_sql(MOTIF5_FILTER, FSM4_SUPPORT, FSM4_MOD)
+    o["kcore3_edges"] = _kcore_oracle_sql(3, KCORE_ROUNDS)
 
     o["fsm_size3"] = _fsm3_oracle_sql(MOTIF5_FILTER, FSM3_SUPPORT)
 
