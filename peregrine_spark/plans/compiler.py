@@ -10,7 +10,13 @@ edge table* and let Catalyst/AQE pick physical strategies:
   * LEFT SEMI joins for additional adjacency constraints (M2/M3),
   * LEFT ANTI joins for anti-edges (M4) and anti-vertices (M9),
   * symmetry-breaking ``<`` predicates from the automorphism group (M5),
-  * injectivity ``!=`` predicates (M7),
+  * bound pruning via the TRANSITIVE CLOSURE of that partial order (M6,
+    core/PatternMatching.hh:524-546): every implied (l, g) pair is applied
+    at the earliest join level where both are matched — the reference's
+    (max lower, min upper) candidate window re-expressed as predicates
+    Catalyst pushes into the join,
+  * injectivity ``!=`` predicates (M7; pairs the closure orders are
+    implied and skipped),
   * label equi-filters via the vertex table (M8).
 
 Matching-order heuristic (replacing the reference's vertex-cover matching
@@ -34,9 +40,37 @@ from pyspark.sql import functions as F
 from peregrine_spark.patterns.small_graph import SmallGraph
 from peregrine_spark.patterns.po import symmetry_conditions
 
+# Pre-filter ordered join legs to the src<dst (or >) half of the
+# symmetrized table. Off by default: measured at SF=0.1 it LOSES ~15%
+# (see BENCH.md round-3 notes) — the predicate re-evaluates the union on
+# every leg scan while the join cost is dominated by the intermediate
+# match-row shuffles the filter cannot shrink (the `<` predicate applied
+# after the join removes the same rows either way).
+HALF_LEGS = False
+
 
 def _vcol(p: int) -> str:
     return f"v{p}"
+
+
+def _order_closure(conds: list[tuple[int, int]]) -> set[tuple[int, int]]:
+    """Transitive closure of the (l < g) symmetry partial order. The
+    closure is the Spark-side 'bound window' (M6,
+    core/PatternMatching.hh:524-546): the reference narrows each
+    candidate scan to (max lower bound, min upper bound) computed from
+    ALL ordered predecessors/successors — which is exactly the set of
+    implied pairs, not just the emitted ones. Patterns are <= 9 vertices,
+    so the O(n^3) closure is free."""
+    lt = set(conds)
+    changed = True
+    while changed:
+        changed = False
+        for (a, b) in list(lt):
+            for (c, d) in list(lt):
+                if b == c and (a, d) not in lt:
+                    lt.add((a, d))
+                    changed = True
+    return lt
 
 
 @dataclass
@@ -91,8 +125,26 @@ def compile_match(
     """
     order = matching_order(pattern)
     conds = symmetry_conditions(pattern) if apply_symmetry else []
-    cond_set = {(min(a, b), max(a, b)) for a, b in conds}
+    # M6: the closure supplies bound predicates at the EARLIEST level where
+    # both endpoints are matched (a chain l<m<g constrains (l, g) even
+    # before m joins) and lets ordered join legs read the half edge table
+    lt = _order_closure(conds)
+    cond_set = {(min(a, b), max(a, b)) for a, b in lt}
     adj_pairs = set(pattern.true_edges())
+
+    def leg(lead: int, pk: int) -> DataFrame:
+        """Edge leg binding (lead -> pk), pre-filtered to the ordered half
+        of the symmetrized table when the partial order relates the two —
+        the join-world form of the reference's bounded adjacency-range
+        scan: the predicate is pushed beneath the join instead of filtering
+        its output, halving the build side."""
+        e = edges_sym
+        if HALF_LEGS:
+            if (lead, pk) in lt:
+                e = edges_sym.where(F.col("src") < F.col("dst"))
+            elif (pk, lead) in lt:
+                e = edges_sym.where(F.col("src") > F.col("dst"))
+        return e.select(F.col("src").alias(_vcol(lead)), F.col("dst").alias(_vcol(pk)))
     labelling = pattern.labelling().value if pattern.labels else "unlabelled"
 
     known_labels = sorted({l for l in pattern.labels.values() if l != -1})
@@ -109,33 +161,47 @@ def compile_match(
             df = df.where(F.col(f"_l{p}") == F.lit(lab))
         return df.drop(f"_l{p}")
 
+    # pairs already guaranteed by a half-table leg filter — their `<`
+    # predicate would be redundant plan noise
+    enforced: set[tuple[int, int]] = set()
+
+    def leg_enforces(lead: int, pk: int) -> None:
+        if not HALF_LEGS:
+            return  # unfiltered legs enforce nothing — predicates must apply
+        if (lead, pk) in lt:
+            enforced.add((lead, pk))
+        elif (pk, lead) in lt:
+            enforced.add((pk, lead))
+
     # seed: first pattern edge (order[0], order[1])
     p0, p1 = order[0], order[1]
-    m = edges_sym.select(F.col("src").alias(_vcol(p0)), F.col("dst").alias(_vcol(p1)))
+    m = leg(p0, p1)
+    leg_enforces(p0, p1)
     matched = [p0, p1]
-    # apply any conditions/labels valid on the seed
-    for (l, g) in conds:
-        if l in matched and g in matched:
+    # apply any conditions valid on the seed (closure pairs included)
+    for (l, g) in sorted(lt):
+        if l in matched and g in matched and (l, g) not in enforced:
             m = m.where(F.col(_vcol(l)) < F.col(_vcol(g)))
+            enforced.add((l, g))
     m = label_filter(label_filter(m, p0), p1)
 
     for pk in order[2:]:
         nbrs = sorted(pattern.adj[pk] & set(matched))
         lead, rest = nbrs[0], nbrs[1:]
-        e = edges_sym.select(
-            F.col("src").alias(_vcol(lead)), F.col("dst").alias(_vcol(pk))
-        )
-        m = m.join(e, _vcol(lead))
+        m = m.join(leg(lead, pk), _vcol(lead))
+        leg_enforces(lead, pk)
         # extra adjacency constraints: semi-joins against the edge table
         for nb in rest:
-            e2 = edges_sym.select(
-                F.col("src").alias(_vcol(nb)), F.col("dst").alias(_vcol(pk))
-            )
-            m = m.join(e2, [_vcol(nb), _vcol(pk)], "left_semi")
-        # symmetry conditions that became applicable
-        for (l, g) in conds:
-            if (l == pk and g in matched) or (g == pk and l in matched):
+            m = m.join(leg(nb, pk), [_vcol(nb), _vcol(pk)], "left_semi")
+            leg_enforces(nb, pk)
+        # symmetry/bound conditions that became applicable (closure pairs:
+        # a chain l<m<g binds (l, g) even when m is not matched yet)
+        for (l, g) in sorted(lt):
+            if (
+                (l == pk and g in matched) or (g == pk and l in matched)
+            ) and (l, g) not in enforced:
                 m = m.where(F.col(_vcol(l)) < F.col(_vcol(g)))
+                enforced.add((l, g))
         # injectivity for non-adjacent, non-ordered matched pairs
         for q in matched:
             pair = (min(q, pk), max(q, pk))

@@ -184,3 +184,40 @@ def test_motif5_vertex_induced_vs_brute(spark):
     assert len(res) == 21
     for p, c in res:
         assert c == brute_count(pairs, p), p.to_string()
+
+
+def test_order_closure_chains():
+    from peregrine_spark.plans.compiler import _order_closure
+
+    # a chain without its implied pair: closure must add (1, 3) and (1, 4)
+    lt = _order_closure([(1, 2), (2, 3), (3, 4)])
+    assert (1, 3) in lt and (1, 4) in lt and (2, 4) in lt
+    assert lt == {(1, 2), (2, 3), (3, 4), (1, 3), (1, 4), (2, 4)}
+    # already-closed input is unchanged
+    full = {(a, b) for a in range(1, 4) for b in range(a + 1, 4)}
+    assert _order_closure(sorted(full)) == full
+
+
+def test_half_legs_mode_counts_agree(spark):
+    """HALF_LEGS pre-filters ordered join legs to the src<dst half table
+    (measured slower at SF=0.1, so off by default — BENCH.md round 3);
+    both modes must produce identical unique-match counts."""
+    import peregrine_spark.plans.compiler as C
+
+    pairs = er_graph(25, 0.3, seed=13)
+    e = edges_df(spark, pairs)
+    pats = [
+        PatternGenerator.clique(3),
+        PatternGenerator.clique(4),
+        PatternGenerator.cycle(4),
+        PatternGenerator.star(4),
+    ]
+    want = [brute_count(pairs, p) for p in pats]
+    assert C.HALF_LEGS is False
+    try:
+        for mode in (False, True):
+            C.HALF_LEGS = mode
+            for p, w in zip(pats, want):
+                assert match(e, p).count() == w, (mode, p.to_string())
+    finally:
+        C.HALF_LEGS = False
