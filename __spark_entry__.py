@@ -113,23 +113,30 @@ def _one_row(spark: SparkSession, value, name: str, typ: str) -> DataFrame:
     return spark.createDataFrame([(value,)], f"{name} {typ}")
 
 
-_RELABEL_CACHE: dict[str, DataFrame] = {}
+_RELABEL_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
+
+
+def _relabelled_with_map(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Degree-relabelled edge table + (v, old, degree) id mapping,
+    materialized once (localCheckpoint) before the k-way self-joins of
+    pattern matching — without this every self-join leg re-runs the whole
+    ingest chain (measured 3 parquet scans in one triangle plan). Memoized
+    per (session, sf_dir): every pattern entry query shares one
+    materialization, the way production queries share the canonical edge
+    table written to the lakehouse once."""
+    cached = _RELABEL_CACHE.get(sf_dir)
+    if cached is not None and cached[0].sparkSession is spark:
+        return cached
+    rel, mapping = relabel_by_degree(_edges(spark, sf_dir))
+    rel = rel.localCheckpoint()
+    _RELABEL_CACHE[sf_dir] = (rel, mapping)
+    return rel, mapping
 
 
 def _relabelled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Degree-relabelled edge table, materialized once (localCheckpoint)
-    before the k-way self-joins of pattern matching — without this every
-    self-join leg re-runs the whole ingest chain (measured 3 parquet scans
-    in one triangle plan). Memoized per (session, sf_dir): every pattern
-    entry query shares one materialization, the way production queries
-    share the canonical edge table written to the lakehouse once."""
-    cached = _RELABEL_CACHE.get(sf_dir)
-    if cached is not None and cached.sparkSession is spark:
-        return cached
-    rel, _ = relabel_by_degree(_edges(spark, sf_dir))
-    rel = rel.localCheckpoint()
-    _RELABEL_CACHE[sf_dir] = rel
-    return rel
+    return _relabelled_with_map(spark, sf_dir)[0]
 
 
 # SQL fragments mirrored by the Spark derivations above ----------------------
@@ -232,7 +239,7 @@ def _inj_hom_sql(p) -> tuple[str, str]:
     )
 
 
-def _pattern_oracle_sql(p, alias: str) -> str:
+def _pattern_oracle_sql(p, alias: str, filt: str | None = None) -> str:
     """Injective-homomorphism count / |Aut| of an arbitrary unlabelled
     pattern — a uniqueness mechanism fully independent of the engine's
     symmetry-breaking compiler."""
@@ -241,7 +248,7 @@ def _pattern_oracle_sql(p, alias: str) -> str:
     frm, whr, _ = _inj_hom_sql(p)
     aut = len(automorphisms(p))
     return (
-        f"WITH e AS MATERIALIZED ({_e_sql()}), sym AS MATERIALIZED ({SYM_SQL})\n"
+        f"WITH e AS MATERIALIZED ({_e_sql(filt)}), sym AS MATERIALIZED ({SYM_SQL})\n"
         f"SELECT CAST((SELECT count(*) FROM {frm}{whr}) // {aut} AS BIGINT) AS {alias}"
     )
 
@@ -439,10 +446,12 @@ def _fsm_mni_oracle_sql(filt: str, support: int, mod: int = 5) -> str:
 def _kcore_oracle_sql(k: int, rounds: int, filt: str | None = None) -> str:
     """Edges of the k-core by ``rounds`` unrolled peel iterations (each:
     degrees on the surviving edge set, keep vertices with degree >= k,
-    keep edges with both endpoints kept). ``rounds`` must cover the
-    fixpoint at the test scale — the engine peels to convergence, so the
-    results agree iff the unroll converged too (verified empirically with
-    margin at sf 0.01)."""
+    keep edges with both endpoints kept). The engine peels to convergence,
+    so the oracle must have converged too: the final SELECT asserts the
+    last two rounds are identical in size (the peel is monotone decreasing,
+    so equal counts == fixpoint) and raises a DuckDB error('...') —
+    an unmistakable harness failure, not a silently-larger edge set — if
+    ``rounds`` stopped short at this scale."""
     parts = [f"WITH e AS MATERIALIZED ({_e_sql(filt)})", "p0 AS (SELECT src, dst FROM e)"]
     for i in range(1, rounds + 1):
         parts.append(
@@ -453,7 +462,13 @@ def _kcore_oracle_sql(k: int, rounds: int, filt: str | None = None) -> str:
             f"p{i} AS MATERIALIZED (SELECT p.src, p.dst FROM p{i-1} p "
             f"JOIN d{i} a ON a.v = p.src JOIN d{i} b ON b.v = p.dst)"
         )
-    return ",\n".join(parts) + f"\nSELECT src, dst FROM p{rounds}"
+    parts.append(
+        "conv AS (SELECT CASE WHEN "
+        f"(SELECT count(*) FROM p{rounds}) = (SELECT count(*) FROM p{rounds-1}) "
+        f"THEN true ELSE error('kcore oracle unconverged after {rounds} rounds "
+        "- raise KCORE_ROUNDS for this scale') END AS ok)"
+    )
+    return ",\n".join(parts) + f"\nSELECT src, dst FROM p{rounds}, conv WHERE conv.ok"
 
 
 def _fsm3_oracle_sql(filt: str, support: int) -> str:
@@ -667,6 +682,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return star_count(rel, 7).select(F.col("cnt").alias("seven_stars"))
 
     q["seven_star_count"] = q_seven_star
+
+    def q_seven_cycle(spark, sf_dir):
+        # a 7-vertex NON-star pattern through the GENERIC compiler (deep
+        # 7-leg join regime — stars take the closed-form fast path, this
+        # can't): 7-cycle on the sparser MOTIF5_FILTER graph, oracled by
+        # injective-hom / |Aut| = 14
+        rel, _ = relabel_by_degree(_edges(spark, sf_dir, MOTIF5_FILTER))
+        rel = rel.localCheckpoint()
+        m = compile_match(symmetrized(rel), PatternGenerator.cycle(7)).df
+        return m.agg(F.count(F.lit(1)).cast("long").alias("seven_cycles"))
+
+    q["seven_cycle_count"] = q_seven_cycle
+
+    def q_output_triangles(spark, sf_dir):
+        # the S6/S7 match SINK end-to-end: triangle matches written to a
+        # dir-per-pattern parquet sink REMAPPED to original vertex ids
+        # (the reference's ids.bin remap, core/OutputManager.hh:130-143),
+        # re-read from disk and normalized to sorted (a, b, c) — triangles
+        # are id-invariant, so the oracle enumerates them on the ORIGINAL
+        # ids directly, value-checking the whole write/remap/read loop
+        import tempfile
+        from pathlib import Path
+
+        from peregrine_spark.operators.match import output
+
+        rel, mapping = _relabelled_with_map(spark, sf_dir)
+        id_dict = mapping.select("v", F.col("old").alias("key"))
+        dest = tempfile.mkdtemp(prefix="peregrine_output_triangles_")
+        output(rel, PatternGenerator.clique(3), dest, id_dict=id_dict)
+        [pat_dir] = [p for p in Path(dest).iterdir() if p.is_dir()]
+        back = spark.read.parquet(str(pat_dir))
+        v1, v2, v3 = (F.col(c) for c in back.columns)
+        lo = F.least(v1, v2, v3)
+        hi = F.greatest(v1, v2, v3)
+        mid = (v1 + v2 + v3) - lo - hi
+        return back.select(
+            lo.cast("long").alias("a"),
+            mid.cast("long").alias("b"),
+            hi.cast("long").alias("c"),
+        )
+
+    q["output_triangles"] = q_output_triangles
 
     def q_p1_diamond(spark, sf_dir):
         # the reference's query/p1.graph (4-vertex diamond, K4 minus an
@@ -1110,6 +1167,18 @@ SELECT CAST(sum(CASE WHEN d >= 6
 FROM deg"""
 
     o["p1_diamond_count"] = _pattern_oracle_sql(P1_DIAMOND, "diamonds")
+
+    o["seven_cycle_count"] = _pattern_oracle_sql(
+        PatternGenerator.cycle(7), "seven_cycles", MOTIF5_FILTER
+    )
+
+    # triangles listed on ORIGINAL vertex ids, sorted within the row —
+    # exactly what the engine's sink emits after the ids-dictionary remap
+    o["output_triangles"] = f"""WITH e AS MATERIALIZED ({e})
+SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+FROM e e1
+JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
+JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst"""
 
     o["fsm_labelled_edges"] = f"""WITH e AS MATERIALIZED ({e}),
 el AS (SELECT src, dst, src % 5 AS ls, dst % 5 AS ld FROM e),

@@ -84,8 +84,8 @@ def read_bin_graph(path: str | Path) -> tuple[np.ndarray, np.ndarray | None, np.
 
 
 def load_bin_graph(
-    spark: SparkSession, path: str | Path
-) -> tuple[DataFrame, DataFrame | None]:
+    spark: SparkSession, path: str | Path, with_ids: bool = False
+) -> tuple[DataFrame, DataFrame | None] | tuple[DataFrame, DataFrame | None, DataFrame | None]:
     """Reference graph directory → (edges, vertices) DataFrames.
 
     edges: (src, dst) long, canonical src < dst — the engine's ingest
@@ -93,8 +93,13 @@ def load_bin_graph(
     at convert time (core/DataConverter.cc:283-304), so the ids come out
     matching our own ``relabel_by_degree`` convention and pattern queries
     run on them directly. vertices: (v, label) or None.
-    """
-    edges_np, labels_np, _ = read_bin_graph(path)
+
+    ``with_ids=True`` additionally returns the ids.bin dictionary as a
+    (v, key) DataFrame (or None when the directory has no ids.bin) — the
+    input to ``operators.match.output(..., id_dict=...)``, which remaps
+    match output back to the graph's ORIGINAL vertex ids exactly like the
+    reference's sink does (core/OutputManager.hh:130-143)."""
+    edges_np, labels_np, ids_np = read_bin_graph(path)
     n = max(spark.sparkContext.defaultParallelism, 8)
     edges = spark.createDataFrame(
         edges_np.tolist(), "src long, dst long"
@@ -102,7 +107,14 @@ def load_bin_graph(
     vertices = None
     if labels_np is not None:
         vertices = spark.createDataFrame(labels_np.tolist(), "v long, label long")
-    return edges, vertices
+    if not with_ids:
+        return edges, vertices
+    id_dict = None
+    if ids_np is not None:
+        id_dict = spark.createDataFrame(
+            [(i + 1, int(k)) for i, k in enumerate(ids_np)], "v long, key long"
+        )
+    return edges, vertices, id_dict
 
 
 def to_parquet(spark: SparkSession, bin_dir: str | Path, out_dir: str | Path) -> None:

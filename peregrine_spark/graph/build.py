@@ -153,6 +153,9 @@ def kcore(edges: DataFrame, k: int, max_iters: int = 100) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         m = nxt.count()
+        # only the LATEST checkpoint stays alive: without this, every peel
+        # round's blocks accumulate in executor storage for the whole call
+        cur.unpersist()
         cur = nxt
         if m == n:
             break
@@ -175,6 +178,12 @@ def contiguous_rank(
     balanced range — never the whole table. All stages are JVM-side; no
     Python RDD round-trip.
 
+    The ranked result is eagerly checkpointed so the intermediate
+    range-partitioned blocks can be released immediately (otherwise they
+    linger in executor storage for the caller's whole lifetime) — and so
+    downstream consumers that read the ranking more than once (ingest joins
+    it twice) don't recompute it.
+
     ``order_cols`` must define a strict total order (no duplicate sort keys)
     for the rank to be deterministic.
     """
@@ -195,11 +204,14 @@ def contiguous_rank(
         acc += counts.get(pid, 0)
     off_df = spark.createDataFrame(offsets, "_pid int, _off long")
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    return (
+    out = (
         part.join(F.broadcast(off_df), "_pid")
         .withColumn(rank_col, (F.col("_off") + F.row_number().over(w)).cast("long"))
         .drop("_pid", "_off")
+        .localCheckpoint(eager=True)
     )
+    part.unpersist()
+    return out
 
 
 def assign_degree_ids(key_edges: DataFrame) -> DataFrame:

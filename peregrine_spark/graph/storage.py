@@ -71,13 +71,19 @@ def _drop_table_and_location(spark: SparkSession, table: str) -> None:
         raise ValueError(f"expected 'tbl' or 'db.tbl', got {table!r}")
     location = None
     if spark.catalog.tableExists(table):
-        row = (
-            spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
-            .where("col_name = 'Location'")
-            .collect()
-        )
-        if row:
-            location = row[0]["data_type"]
+        info = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        }
+        # EXTERNAL tables: DROP TABLE deliberately preserves the data at the
+        # custom location — deleting it here would destroy user data the
+        # catalog never owned. Drop only the catalog entry and keep the
+        # files (the subsequent managed write lands in the warehouse, a
+        # different path; if it ever collides, failing loudly beats erasing).
+        if (info.get("Type") or "").strip().upper() == "EXTERNAL":
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            return
+        location = info.get("Location")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     if location is None:
         warehouse = spark.conf.get("spark.sql.warehouse.dir")

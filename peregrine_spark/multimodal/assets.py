@@ -18,7 +18,6 @@ Feature schema: (asset_id: long, kind: string, n_bytes: long,
 
 from __future__ import annotations
 
-import hashlib
 from typing import Callable, Iterator
 
 import numpy as np
@@ -102,12 +101,22 @@ def attach_payload(
 
 
 def extract_features(assets: DataFrame, use_real_decoder: bool = False) -> DataFrame:
-    """Arrow-batched feature extraction over the binary payload column.
+    """Feature extraction over the binary payload column.
 
-    One ``mapInPandas`` pass: hashing + byte stats are vectorized per
-    batch; the decode step is the stub (or the registered real decoder).
-    Output partitioning follows the input — repartition upstream by
-    asset_id for even batch sizes at scale."""
+    ``n_bytes`` and ``sha256`` are JVM column expressions
+    (``F.octet_length`` / ``F.sha2`` — codegen'd, never Python); the Arrow
+    kernel does ONLY what a built-in genuinely can't: the decode. The
+    pre-computed columns flow through the ``mapInPandas`` batch untouched,
+    so no join is needed to reunite them. Output partitioning follows the
+    input — repartition upstream by asset_id for even batch sizes at scale.
+    """
+    prepped = assets.select(
+        "asset_id",
+        "kind",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.lower(F.sha2(F.col("payload"), 256)).alias("sha256"),
+        "payload",
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -125,17 +134,15 @@ def extract_features(assets: DataFrame, use_real_decoder: bool = False) -> DataF
                 {
                     "asset_id": pdf["asset_id"].to_numpy(),
                     "kind": pdf["kind"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "sha256": payloads.map(
-                        lambda b: hashlib.sha256(b).hexdigest()
-                    ),
+                    "n_bytes": pdf["n_bytes"].to_numpy(),
+                    "sha256": pdf["sha256"],
                     "width": widths,
                     "height": heights,
                     "feature": feats,
                 }
             )
 
-    return assets.mapInPandas(kernel, FEATURE_SCHEMA)
+    return prepped.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
 def frame_sample_plan(

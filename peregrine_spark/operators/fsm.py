@@ -302,6 +302,7 @@ def fsm(
     discover: bool = True,
     level_chunk: int = 4,
     max_edges: int | None = None,
+    max_seeds: int = 100_000,
 ) -> list[tuple[SmallGraph, int]]:
     """Mine labelled patterns with MNI support >= ``support`` up to
     ``max_vertices`` pattern vertices. Returns fully-labelled patterns only.
@@ -336,15 +337,26 @@ def fsm(
     # the per-candidate match/support jobs are many and individually small;
     # size their shuffles to the graph, not the session default
     n_part = auto_shuffle_partitions(spark, 2 * edges.count())
-    seed_pairs = (
+    seed_df = (
         edges.join(lab.withColumnsRenamed({"v": "src", "label": "la"}), "src")
         .join(lab.withColumnsRenamed({"v": "dst", "label": "lb"}), "dst")
         .select(
             F.least("la", "lb").alias("la"), F.greatest("la", "lb").alias("lb")
         )
         .distinct()
-        .collect()
     )
+    # the seed collect is O(|labels|^2) rows to the driver — fine for label
+    # VOCABULARIES (the reference's labels are small ints), catastrophic if
+    # a caller keys labels on a high-cardinality column. Count first (one
+    # cheap distributed agg over the already-distinct frame) and refuse.
+    n_seeds = seed_df.limit(max_seeds + 1).count()
+    if n_seeds > max_seeds:
+        raise ValueError(
+            f"FSM seed discovery found > {max_seeds} distinct label pairs — "
+            "the label column looks high-cardinality (labels must be a small "
+            "vocabulary); bucket/hash the labels first or raise max_seeds"
+        )
+    seed_pairs = seed_df.collect()
     all_labels = sorted({r["la"] for r in seed_pairs} | {r["lb"] for r in seed_pairs})
     seen: dict = {}
     for r in seed_pairs:
@@ -408,10 +420,16 @@ def fsm(
         )
         for h in grown:
             cf = canonical_form(h)
+            if cf in attempted:
+                continue
+            # record BEFORE the size caps: an over-cap candidate can never
+            # become acceptable later (growth is monotone), and without the
+            # record it would be regenerated + re-canonicalized at every
+            # subsequent level — wasted driver work
+            attempted.add(cf)
             if max_edges is not None and h.num_true_edges > max_edges:
                 continue
-            if h.num_vertices <= max_vertices and cf not in attempted:
-                attempted.add(cf)
+            if h.num_vertices <= max_vertices:
                 nxt.append(h)
         candidates = nxt
     return results

@@ -131,19 +131,25 @@ def existence(
         pairs = set(_it.combinations(sorted(pattern.vertices), 2))
         if k >= 3 and {tuple(e) for e in pattern.true_edges()} == pairs:
             from peregrine_spark.graph.build import kcore
-            from peregrine_spark.plans.fast_counts import clique_count
+            from peregrine_spark.plans.fast_counts import clique_rows
 
             # a PARTIAL peel is still an exact reducer (every round only
             # removes vertices that cannot be in a k-clique), so cap the
-            # rounds: low-k peels converge slowly and the post-peel count
-            # is cheap anyway
-            core = kcore(edges, k - 1, max_iters=8)
+            # rounds. Skip the peel entirely for k == 3: the 2-core rarely
+            # prunes (most graphs ARE nearly their 2-core) and each peel
+            # round costs a checkpointed shuffle.
+            core = kcore(edges, k - 1, max_iters=8) if k > 3 else edges
             try:
-                if not core.limit(1).take(1):
+                if core is not edges and not core.limit(1).take(1):
                     return False
-                return int(clique_count(core, k).collect()[0]["cnt"]) > 0
+                # probe, don't count: limit(1) over the oriented join chain
+                # stops at the first surviving clique instead of enumerating
+                # them all (on graphs where the clique DOES exist, a full
+                # count over the core is asymptotically the whole query)
+                return len(clique_rows(core, k).limit(1).take(1)) > 0
             finally:
-                core.unpersist()
+                if core is not edges:
+                    core.unpersist()
     df = match(edges, pattern, vertices)
     return len(df.limit(1).take(1)) > 0
 

@@ -77,12 +77,16 @@ def _shape(p: SmallGraph) -> str | None:
     return None
 
 
-def clique_count(edges: DataFrame, k: int) -> DataFrame:
-    """k-clique count via the degree-oriented join chain. ``edges`` must be
+def clique_rows(edges: DataFrame, k: int) -> DataFrame:
+    """Unique k-clique rows (v1 > v2 > ... > vk, id order == ascending
+    degree order) via the degree-oriented join chain. ``edges`` must be
     canonical (src<dst) with degree-descending ids (higher degree == lower
-    id) — the ingest invariant. Returns 1 row (cnt)."""
+    id) — the ingest invariant. Aggregate for counting (:func:`clique_count`)
+    or ``limit(1)`` for an early-terminating existence probe — a LocalLimit
+    above the chain stops each task at its first surviving row, the Catalyst
+    analogue of the reference's StopExploration (core/Barrier.hh:61-70)."""
     if k == 2:
-        return edges.agg(F.count(F.lit(1)).alias("cnt"))
+        return edges.select(F.col("src").alias("v1"), F.col("dst").alias("v2"))
     o = _oriented(edges)
     # m holds v1 > v2 > ... > v_i (id order == ascending degree order)
     m = o.select(F.col("src").alias("v1"), F.col("dst").alias("v2"))
@@ -96,7 +100,13 @@ def clique_count(edges: DataFrame, k: int) -> DataFrame:
                 F.col("src").alias(f"v{j}"), F.col("dst").alias(f"v{i}")
             )
             m = m.join(e_j, [f"v{j}", f"v{i}"], "left_semi")
-    return m.agg(F.count(F.lit(1)).alias("cnt"))
+    return m
+
+
+def clique_count(edges: DataFrame, k: int) -> DataFrame:
+    """k-clique count — the :func:`clique_rows` chain with a count aggregate
+    on top (no match rows survive the stage). Returns 1 row (cnt)."""
+    return clique_rows(edges, k).agg(F.count(F.lit(1)).alias("cnt"))
 
 
 def star_count(edges: DataFrame, k: int) -> DataFrame:

@@ -126,6 +126,7 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     multiprobe: bool = True,
     dim: int | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: LSH bucket join + exact cosine re-rank.
 
@@ -136,7 +137,13 @@ def cosine_topk_lsh(
 
     ``dim``: embedding dimensionality. Pass it when known (schema metadata)
     to keep the operator action-free; the fallback probes one corpus row on
-    the driver."""
+    the driver.
+
+    ``broadcast_queries=True`` (default) force-hints a broadcast of the
+    EXPLODED query side — |Q| × (1 + n_planes) probe rows. Correct only for
+    small probe batches; pass False for a large query set so Catalyst picks
+    a shuffle join on the bucket key instead of OOMing executors (same
+    escape hatch as ``cosine_topk``)."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes)
@@ -165,7 +172,7 @@ def cosine_topk_lsh(
     )
     sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
     scored = (
-        c.join(F.broadcast(qp), "bucket")
+        c.join(F.broadcast(qp) if broadcast_queries else qp, "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("sim"))
         .dropDuplicates(["query_id", "neighbor_id"])
@@ -300,14 +307,19 @@ def ivf_centroids(
 
     n = emb.count()
     stride = max(1, n // n_cells)
-    ranked = contiguous_rank(emb.select(id_col, vec_col), [F.col(id_col).asc()], "_rk")
+    # rank ids ONLY (the checkpointed ranking must not carry the vectors —
+    # O(corpus·dim) executor storage); join the vectors back for just the
+    # n_cells selected seed rows, then release the ranking blocks
+    ranked = contiguous_rank(emb.select(id_col), [F.col(id_col).asc()], "_rk")
     seeds = (
         ranked.where(
             ((F.col("_rk") - 1) % stride == 0) & (F.col("_rk") <= stride * n_cells)
         )
+        .join(emb.select(id_col, vec_col), id_col)
         .select("_rk", vec_col)
         .collect()
     )
+    ranked.unpersist()
     seeds.sort(key=lambda r: r["_rk"])  # collect order is partition order
     cents = [list(map(float, r[1])) for r in seeds]
     for _ in range(lloyd_iters):
@@ -358,6 +370,7 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: list[list[float]] | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k via an IVF coarse quantizer: corpus vectors are
     assigned to their nearest centroid cell once; each query probes its
@@ -369,7 +382,10 @@ def cosine_topk_ivf(
     where fixed hyperplane buckets skew). At scale the corpus is
     partitioned/bucketed by cell, so a probe touches nprobe partitions —
     classic IVF partition pruning. Pass ``centroids`` to reuse a trained
-    quantizer (recommended: train once, persist with the table)."""
+    quantizer (recommended: train once, persist with the table).
+
+    ``broadcast_queries``: as in ``cosine_topk_lsh`` — the exploded probe
+    side is |Q| × nprobe rows; pass False for large query sets."""
     cents = centroids or ivf_centroids(corpus, n_cells, vec_col, id_col)
     c = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
@@ -385,7 +401,7 @@ def cosine_topk_ivf(
     )
     sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
     scored = (
-        c.join(F.broadcast(qp), "cell")
+        c.join(F.broadcast(qp) if broadcast_queries else qp, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("sim"))
         .dropDuplicates(["query_id", "neighbor_id"])

@@ -164,3 +164,56 @@ def brute_components(pairs):
         for u in mem:
             comp[u] = m
     return comp
+
+
+def brute_count_backtracking(pairs, pattern: SmallGraph) -> int:
+    """Exact unique-occurrence count of an UNLABELLED, anti-edge-free
+    pattern — backtracking injective-homomorphism enumeration / |Aut|.
+    Same math as :func:`brute_count`, but partial assignments are pruned
+    through the adjacency (candidates = common neighbours of the already-
+    mapped pattern neighbours), which is what makes 7+-vertex patterns
+    feasible where the permutation enumeration explodes."""
+    assert not pattern.labels and not pattern.anti_edge_list()
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    all_vs = set(adj)
+
+    # connected extension order: each vertex after the first has a mapped
+    # neighbour, so every extension step is adjacency-driven
+    verts = sorted(pattern.vertices)
+    order = [verts[0]]
+    while len(order) < len(verts):
+        nxt = next(
+            v for v in verts
+            if v not in order and any(u in order for u in pattern.adj[v])
+        )
+        order.append(nxt)
+
+    n_hom = 0
+    m: dict[int, int] = {}
+
+    def extend(i: int, used: set[int]) -> None:
+        nonlocal n_hom
+        if i == len(order):
+            n_hom += 1
+            return
+        pv = order[i]
+        mapped_nbrs = [m[u] for u in pattern.adj[pv] if u in m]
+        cands = (
+            set.intersection(*(adj[x] for x in mapped_nbrs))
+            if mapped_nbrs
+            else all_vs
+        )
+        for dv in cands - used:
+            m[pv] = dv
+            extend(i + 1, used | {dv})
+            del m[pv]
+
+    extend(0, set())
+    n_aut = len(automorphisms(pattern))
+    assert n_hom % n_aut == 0, (n_hom, n_aut)
+    return n_hom // n_aut

@@ -158,3 +158,26 @@ def test_mni_sampled_threshold1_truth(citeseer):
         for p, want in rng.sample(by_level[lvl], 2):
             m = match(edges, p, vertices=vertices)
             assert mni_support(m, p) == want, p.to_string()
+
+
+def test_output_roundtrip_with_original_ids(citeseer, spark, tmp_path):
+    """S6/S7 sink parity with the reference's output app: write triangle
+    matches remapped through ids.bin, re-read the files, verify the count
+    AND that the inverse remap reproduces the engine's match set — the
+    reference's OutputManager flow (core/OutputManager.hh:130-143; harness
+    core/integrationtests/Output_test.hh re-reads and verifies)."""
+    from peregrine_spark.operators.match import output
+
+    edges, _ = citeseer
+    _, _, id_dict = load_bin_graph(spark, CITESEER, with_ids=True)
+    assert id_dict is not None and id_dict.count() == 3264
+    tri = PatternGenerator.clique(3)
+    output(edges, tri, str(tmp_path / "sink"), id_dict=id_dict)
+    dirs = list((tmp_path / "sink").iterdir())
+    assert len(dirs) == 1  # one dir per pattern, like the reference
+    back = spark.read.parquet(str(dirs[0]))
+    assert back.count() == 1166  # README.md:78
+    inv = {r["key"]: r["v"] for r in id_dict.collect()}
+    got = {frozenset(inv[x] for x in r) for r in back.collect()}
+    want = {frozenset(r) for r in match(edges, tri).collect()}
+    assert got == want

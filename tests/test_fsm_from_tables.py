@@ -234,3 +234,14 @@ def test_mni_supports_level_matches_single(spark):
     for wl, s in exp1.items():
         assert got[(1, wl)] == s
     assert {k for k in got if k[0] == 1} == {(1, wl) for wl in exp1}
+
+
+def test_fsm_seed_cap_refuses_high_cardinality_labels(spark):
+    """Seed discovery collects O(|labels|^2) label pairs to the driver; a
+    high-cardinality label column must be refused, not collected."""
+    e = edges_df(spark, [(i, i + 1) for i in range(1, 30)])
+    verts = symmetrized(e).select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")  # label == vertex id: pathological
+    )
+    with pytest.raises(ValueError, match="label pairs"):
+        fsm(e, verts, support=1, max_vertices=2, max_seeds=10)

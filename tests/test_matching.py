@@ -221,3 +221,24 @@ def test_half_legs_mode_counts_agree(spark):
                 assert match(e, p).count() == w, (mode, p.to_string())
     finally:
         C.HALF_LEGS = False
+
+
+def test_seven_vertex_patterns_generic_compiler(spark):
+    """>= 7-vertex NON-star patterns through the generic join compiler (the
+    deep-join regime that fast paths and pattern GENERATION never cover;
+    reference surface: any pattern file up to size 9 feeds the matcher,
+    core/PatternGenerator.cc:477-548) vs an independent backtracking
+    injective-hom / |Aut| oracle."""
+    from peregrine_spark.graph.build import symmetrized
+    from peregrine_spark.plans.compiler import compile_match
+    from tests.oracle import brute_count_backtracking
+
+    pairs = er_graph(18, 0.3, seed=23)
+    e = edges_df(spark, pairs)
+    seven_tree = SmallGraph(
+        edges=[(1, 2), (2, 3), (3, 4), (4, 5), (3, 6), (6, 7)]
+    )
+    for pat in (PatternGenerator.cycle(7), seven_tree):
+        got = compile_match(symmetrized(e), pat).df.count()
+        want = brute_count_backtracking(pairs, pat)
+        assert got == want > 0, pat.to_string()

@@ -51,3 +51,26 @@ def test_bucketed_overwrite_survives_orphan_location(spark):
     save_edges_bucketed(e, "t_edges_orphan", n_buckets=8)
     b = load_edges_bucketed(spark, "t_edges_orphan")
     assert b.count() == e.count()
+
+
+def test_overwrite_preserves_external_table_data(spark, tmp_path):
+    """Colliding with a same-named EXTERNAL table must drop only the catalog
+    entry — DROP TABLE deliberately preserves external data, and the
+    overwrite helper must not then erase it behind the catalog's back."""
+    ext_dir = str(tmp_path / "external_edges")
+    e = edges_df(spark, er_graph(30, 0.2, seed=7))
+    e.write.parquet(ext_dir)
+    spark.sql(
+        f"CREATE TABLE t_edges_ext (src BIGINT, dst BIGINT) "
+        f"USING PARQUET LOCATION '{ext_dir}'"
+    )
+    try:
+        save_edges_bucketed(e, "t_edges_ext", n_buckets=8)
+        from pathlib import Path
+
+        files = list(Path(ext_dir).glob("*.parquet"))
+        assert files, "external table data was deleted"
+        assert spark.read.parquet(ext_dir).count() == e.count()
+        assert load_edges_bucketed(spark, "t_edges_ext").count() == e.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_edges_ext")

@@ -297,3 +297,33 @@ def test_ivf_centroids_deterministic(emb_dups):
     c2 = ivf_centroids(emb_dups, n_cells=8)
     assert c1 == c2
     assert len(c1) == 8 and len(c1[0]) == 16
+
+
+def test_lsh_ivf_broadcast_escape_hatch(emb_dups, spark):
+    """broadcast_queries=False leaves the probe-side join strategy to
+    Catalyst (no forced broadcast) — the escape hatch for large query sets;
+    results are identical either way (only the physical plan changes)."""
+    from peregrine_spark.similarity.ann import (
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+        ivf_centroids,
+    )
+
+    queries = emb_dups.where(F.col("vec_id") < 3)
+    cents = ivf_centroids(emb_dups, n_cells=4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for fn, kw in (
+            (cosine_topk_lsh, dict(n_planes=4)),
+            (cosine_topk_ivf, dict(n_cells=4, centroids=cents)),
+        ):
+            forced = fn(emb_dups, queries, k=2, broadcast_queries=True, **kw)
+            free = fn(emb_dups, queries, k=2, broadcast_queries=False, **kw)
+            assert "Broadcast" in forced._jdf.queryExecution().sparkPlan().toString()
+            assert "Broadcast" not in free._jdf.queryExecution().sparkPlan().toString()
+            assert sorted(map(tuple, forced.collect())) == sorted(
+                map(tuple, free.collect())
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
