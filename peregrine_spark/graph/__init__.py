@@ -2,6 +2,7 @@ from peregrine_spark.graph.build import (
     GraphTables,
     build_graph,
     canonical_edges,
+    convert_edge_list,
     edges_from_pairs,
     symmetrized,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "GraphTables",
     "build_graph",
     "canonical_edges",
+    "convert_edge_list",
     "edges_from_pairs",
     "symmetrized",
 ]

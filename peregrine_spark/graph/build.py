@@ -234,6 +234,38 @@ def assign_degree_ids(key_edges: DataFrame) -> DataFrame:
     return ranked.select(F.col("v"), "key", "degree")
 
 
+def convert_edge_list(
+    spark, path: str, comment: str = "#"
+) -> tuple[DataFrame, DataFrame]:
+    """One-call parity with the reference converter's TEXT input
+    (``convert_data`` on a plain edge list, core/DataConverter.cc:205-464):
+    whitespace-separated ``u v`` integer lines → self-loops and duplicate
+    edges dropped, vertices renumbered 1-based contiguous by DESCENDING
+    degree (degree-0 vertices vanish — they have no edge rows), id
+    dictionary kept.
+
+    Returns (edges, mapping): canonical (src<dst) relabelled edges and the
+    (v, old, degree) dictionary — ``mapping.select("v", col("old")
+    .alias("key"))`` feeds ``operators.match.output``'s original-id remap,
+    the ids.bin role. Spark-first: a distributed text scan + regexp split
+    (one job, any file size), ranking via the two-pass distributed
+    ``contiguous_rank`` — where the reference mmaps and multi-threads one
+    file, the scan here is already partitioned."""
+    from pyspark.sql import functions as F  # noqa: F811 (local for clarity)
+
+    lines = spark.read.text(path)
+    if comment:
+        lines = lines.where(~F.col("value").startswith(comment))
+    parts = F.split(F.trim(F.col("value")), r"\s+")
+    pairs = lines.select(
+        parts.getItem(0).cast("long").alias("a"),
+        parts.getItem(1).cast("long").alias("b"),
+    ).where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    from peregrine_spark.graph.from_tables import relabel_by_degree
+
+    return relabel_by_degree(edges_from_pairs(pairs))
+
+
 def build_graph(src_df: DataFrame, include_co_commit: bool = True) -> GraphTables:
     """Full ingest: source-repo rows → GraphTables."""
     imp = import_edges(src_df)

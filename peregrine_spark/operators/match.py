@@ -79,36 +79,59 @@ def _count_one(
     return compile_match(sym, p, vertices).df.count()
 
 
+def _count_all(
+    sym: DataFrame,
+    edges: DataFrame,
+    patterns: list[SmallGraph],
+    vertices: DataFrame | None,
+    concurrency: int,
+) -> list[int]:
+    """Counts for every pattern, optionally submitting the per-pattern jobs
+    from driver THREADS. One small count job underutilizes the cluster (a
+    6-vertex plan on a modest graph is a handful of short stages); Spark's
+    scheduler interleaves concurrently-submitted jobs across the executors,
+    so a motif sweep of 112 patterns runs at cluster utilization instead of
+    plan-at-a-time (same idiom as the FSM level batching,
+    operators/fsm.py:mni_supports_level)."""
+    if concurrency <= 1 or len(patterns) <= 1:
+        return [_count_one(sym, edges, p, vertices) for p in patterns]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=concurrency) as ex:
+        return list(ex.map(lambda p: _count_one(sym, edges, p, vertices), patterns))
+
+
 def count(
     edges: DataFrame,
     patterns: list[SmallGraph] | SmallGraph,
     vertices: DataFrame | None = None,
+    concurrency: int = 1,
 ) -> list[tuple[SmallGraph, int]]:
-    """Exact unique-occurrence counts, one per pattern."""
+    """Exact unique-occurrence counts, one per pattern. ``concurrency > 1``
+    evaluates that many pattern-count jobs at once from driver threads."""
     if isinstance(patterns, SmallGraph):
         patterns = [patterns]
     sym = symmetrized(edges)
     if _is_vertex_induced_motif_set(patterns):
         stripped = [_strip_anti(p) for p in patterns]
-        edge_counts = [
-            (p, _count_one(sym, edges, p, vertices)) for p in stripped
-        ]
-        converted = convert_counts(edge_counts)
+        cs = _count_all(sym, edges, stripped, vertices, concurrency)
+        converted = convert_counts(list(zip(stripped, cs)))
         # map converted counts back to the caller's (anti-edged) patterns
         conv = {p: c for p, c in converted}  # SmallGraph __eq__/__hash__ = canonical
         return [(orig, conv[strip]) for orig, strip in zip(patterns, stripped)]
-    return [(p, _count_one(sym, edges, p, vertices)) for p in patterns]
+    cs = _count_all(sym, edges, patterns, vertices, concurrency)
+    return list(zip(patterns, cs))
 
 
 def count_motifs(
-    edges: DataFrame, size: int, vertex_induced: bool = True
+    edges: DataFrame, size: int, vertex_induced: bool = True, concurrency: int = 1
 ) -> list[tuple[SmallGraph, int]]:
     """k-motif counting (apps/count.cc '3-motifs' etc.)."""
     if vertex_induced:
         pats = PatternGenerator.all(size, vertex_based=True, anti_edges=True)
     else:
         pats = PatternGenerator.all(size, vertex_based=False)
-    return count(edges, pats)
+    return count(edges, pats, concurrency=concurrency)
 
 
 def existence(

@@ -136,3 +136,28 @@ def test_kcore_matches_brute_peel(spark):
     for k in (2, 3, 4, 10):
         got = {(r["src"], r["dst"]) for r in kcore(e, k).collect()}
         assert got == brute({(min(a, b), max(a, b)) for a, b in pairs if a != b}, k), k
+
+
+def test_convert_edge_list_text_ingest(spark, tmp_path):
+    """One-call text edge-list ingest (the reference convert_data's input
+    format, core/DataConverter.cc:205-464): loops/dups dropped, comments
+    skipped, degree-descending 1-based renumber with an id dictionary."""
+    from peregrine_spark.graph.build import convert_edge_list
+
+    f = tmp_path / "toy.edges"
+    f.write_text(
+        "# comment line\n"
+        "10 20\n20 10\n"       # duplicate (reversed)
+        "10 10\n"              # self loop
+        "10 30\n10 40\n20 30\n50 60\n"
+    )
+    edges, mapping = convert_edge_list(spark, str(f))
+    m = {r["old"]: (r["v"], r["degree"]) for r in mapping.collect()}
+    # degrees: 10 -> 3, 20 -> 2, 30 -> 2, 40 -> 1, 50 -> 1, 60 -> 1
+    assert m[10] == (1, 3)
+    assert {m[20][0], m[30][0]} == {2, 3}          # ties broken by old id
+    assert m[20][0] == 2 and m[30][0] == 3
+    assert edges.count() == 5
+    # every edge is canonical and uses the new contiguous ids
+    for r in edges.collect():
+        assert 1 <= r["src"] < r["dst"] <= 6
