@@ -241,7 +241,7 @@ def support_at_least(
     if not orbits:
         return False
     sym = symmetrized(edges)
-    m = compile_match(sym, pattern, vertices=vertices).df
+    m = compile_match(sym, pattern, vertices=vertices, edges_canonical=edges).df
     need = math.ceil(threshold / max(len(o) for o in orbits))
     # limit().count() truncates the match stream at `need` rows without
     # moving any row to the driver (take() would collect them)
@@ -377,7 +377,9 @@ def fsm(
             items.append(
                 (
                     pid,
-                    (lambda g=g: compile_match(sym, g, vertices=lab).df),
+                    (lambda g=g: compile_match(
+                        sym, g, vertices=lab, edges_canonical=edges
+                    ).df),
                     g,
                     wc,
                 )

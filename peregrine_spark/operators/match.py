@@ -33,7 +33,9 @@ def match(
     vertices: DataFrame | None = None,
 ) -> DataFrame:
     """Unique matches of ``pattern`` in the canonical (src<dst) edge table."""
-    return compile_match(symmetrized(edges), pattern, vertices).df
+    return compile_match(
+        symmetrized(edges), pattern, vertices, edges_canonical=edges
+    ).df
 
 
 def _strip_anti(p: SmallGraph) -> SmallGraph:
@@ -76,7 +78,7 @@ def _count_one(
         fc = fast_count(edges, p)
         if fc is not None:
             return int(fc.collect()[0]["cnt"])
-    return compile_match(sym, p, vertices).df.count()
+    return compile_match(sym, p, vertices, edges_canonical=edges).df.count()
 
 
 def _count_all(

@@ -115,6 +115,7 @@ def compile_match(
     pattern: SmallGraph,
     vertices: DataFrame | None = None,
     apply_symmetry: bool = True,
+    edges_canonical: DataFrame | None = None,
 ) -> MatchPlan:
     """Compile ``pattern`` into a DataFrame of unique matches.
 
@@ -122,6 +123,16 @@ def compile_match(
     vertices: (v, label) table, required for labelled patterns.
     apply_symmetry=False enumerates all automorphic images (for debugging /
     oracle cross-checks).
+    edges_canonical: the CANONICAL (src < dst, each undirected edge once)
+    base table edges_sym was built from, when the caller has it. Join legs
+    whose endpoints the symmetry partial order relates then read this table
+    directly — half the scan and half the join build side, with the ``<``
+    predicate enforced by the data orientation instead of a filter. This is
+    the join-world form of the reference's bounded (ordered) adjacency scan
+    (core/PatternMatching.hh:524-546) that actually pays: the round-3
+    ``HALF_LEGS`` variant filtered the symmetrized UNION per leg and lost
+    ~15% re-scanning both halves; reading the base table never touches the
+    swapped half at all.
     """
     order = matching_order(pattern)
     conds = symmetry_conditions(pattern) if apply_symmetry else []
@@ -133,11 +144,19 @@ def compile_match(
     adj_pairs = set(pattern.true_edges())
 
     def leg(lead: int, pk: int) -> DataFrame:
-        """Edge leg binding (lead -> pk), pre-filtered to the ordered half
-        of the symmetrized table when the partial order relates the two —
-        the join-world form of the reference's bounded adjacency-range
-        scan: the predicate is pushed beneath the join instead of filtering
-        its output, halving the build side."""
+        """Edge leg binding (lead -> pk). When the partial order relates the
+        two endpoints the leg reads the canonical half directly (see
+        ``edges_canonical`` in the docstring) — the ordered adjacency scan,
+        half the rows, the ``<`` enforced by orientation."""
+        if edges_canonical is not None:
+            if (lead, pk) in lt:  # v_lead < v_pk in every surviving match
+                return edges_canonical.select(
+                    F.col("src").alias(_vcol(lead)), F.col("dst").alias(_vcol(pk))
+                )
+            if (pk, lead) in lt:
+                return edges_canonical.select(
+                    F.col("dst").alias(_vcol(lead)), F.col("src").alias(_vcol(pk))
+                )
         e = edges_sym
         if HALF_LEGS:
             if (lead, pk) in lt:
@@ -166,7 +185,7 @@ def compile_match(
     enforced: set[tuple[int, int]] = set()
 
     def leg_enforces(lead: int, pk: int) -> None:
-        if not HALF_LEGS:
+        if edges_canonical is None and not HALF_LEGS:
             return  # unfiltered legs enforce nothing — predicates must apply
         if (lead, pk) in lt:
             enforced.add((lead, pk))
@@ -211,11 +230,22 @@ def compile_match(
         matched.append(pk)
 
     # anti-edges between true vertices → anti-join against the edge table
+    # (the ordered-pair case reads the canonical half: if v_a < v_b in every
+    # match, the edge — when it exists — is the canonical row (v_a, v_b))
     for (a, b) in pattern.anti_edge_list():
         if a in matched and b in matched:
-            e = edges_sym.select(
-                F.col("src").alias(_vcol(a)), F.col("dst").alias(_vcol(b))
-            )
+            if edges_canonical is not None and (a, b) in lt:
+                e = edges_canonical.select(
+                    F.col("src").alias(_vcol(a)), F.col("dst").alias(_vcol(b))
+                )
+            elif edges_canonical is not None and (b, a) in lt:
+                e = edges_canonical.select(
+                    F.col("dst").alias(_vcol(a)), F.col("src").alias(_vcol(b))
+                )
+            else:
+                e = edges_sym.select(
+                    F.col("src").alias(_vcol(a)), F.col("dst").alias(_vcol(b))
+                )
             m = m.join(e, [_vcol(a), _vcol(b)], "left_anti")
 
     # anti-vertices: no data vertex outside the match adjacent to ALL

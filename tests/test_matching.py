@@ -223,6 +223,34 @@ def test_half_legs_mode_counts_agree(spark):
         C.HALF_LEGS = False
 
 
+def test_canonical_leg_mode_counts_agree(spark):
+    """Ordered join legs reading the CANONICAL (src<dst) base table directly
+    (edges_canonical=...) vs the plain symmetrized-union legs: identical
+    unique-match counts on cliques, cycles, stars and anti-edge patterns.
+    (match()/count() wire the canonical table by default, so the whole
+    oracle battery also runs this path — this test pins the two modes
+    against EACH OTHER, catching a divergence even if both drift.)"""
+    from peregrine_spark.graph.build import symmetrized
+    from peregrine_spark.plans.compiler import compile_match
+
+    pairs = er_graph(25, 0.3, seed=17)
+    e = edges_df(spark, pairs)
+    sym = symmetrized(e)
+    pats = [
+        PatternGenerator.clique(3),
+        PatternGenerator.clique(4),
+        PatternGenerator.cycle(4),
+        PatternGenerator.cycle(5),
+        PatternGenerator.star(4),
+        SmallGraph(edges=[(1, 2), (2, 3)], anti_edges=[(1, 3)]),
+        SmallGraph(edges=[(1, 2), (2, 3), (3, 4), (4, 1)], anti_edges=[(1, 3)]),
+    ]
+    for p in pats:
+        plain = compile_match(sym, p).df.count()
+        canon = compile_match(sym, p, edges_canonical=e).df.count()
+        assert plain == canon == brute_count(pairs, p), p.to_string()
+
+
 def test_seven_vertex_patterns_generic_compiler(spark):
     """>= 7-vertex NON-star patterns through the generic join compiler (the
     deep-join regime that fast paths and pattern GENERATION never cover;
