@@ -606,7 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_motif5(spark, sf_dir):
         rel, _ = relabel_by_degree(_edges(spark, sf_dir, MOTIF5_FILTER))
         rel = rel.localCheckpoint()
-        res = count_motifs(rel, 5, vertex_induced=True)
+        res = count_motifs(rel, 5, vertex_induced=True, concurrency=6)
         rows = [(i, int(p.num_true_edges), int(c)) for i, (p, c) in enumerate(res)]
         return spark.createDataFrame(rows, "pattern_id long, pattern_edges long, cnt long")
 
@@ -618,7 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracled by injective-hom / |Aut| per pattern
         rel, _ = relabel_by_degree(_edges(spark, sf_dir, MOTIF5_FILTER))
         rel = rel.localCheckpoint()
-        res = count_motifs(rel, 4, vertex_induced=False)
+        res = count_motifs(rel, 4, vertex_induced=False, concurrency=6)
         rows = [(i, int(p.num_true_edges), int(c)) for i, (p, c) in enumerate(res)]
         return spark.createDataFrame(rows, "pattern_id long, pattern_edges long, cnt long")
 
@@ -1025,7 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         edges, _ = load_bin_graph(spark, "/root/reference/data/citeseer")
         edges = edges.localCheckpoint()
-        ei = count_motifs(edges, 4, vertex_induced=False)
+        ei = count_motifs(edges, 4, vertex_induced=False, concurrency=6)
         vi = {p: c for p, c in convert_counts(ei)}  # keyed by canonical eq
         rows = sorted(
             (canonical_relabel(p).to_string(), int(c), int(vi[p]))
