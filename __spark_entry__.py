@@ -702,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-read from disk and normalized to sorted (a, b, c) — triangles
         # are id-invariant, so the oracle enumerates them on the ORIGINAL
         # ids directly, value-checking the whole write/remap/read loop
+        import shutil
         import tempfile
         from pathlib import Path
 
@@ -710,18 +711,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rel, mapping = _relabelled_with_map(spark, sf_dir)
         id_dict = mapping.select("v", F.col("old").alias("key"))
         dest = tempfile.mkdtemp(prefix="peregrine_output_triangles_")
-        output(rel, PatternGenerator.clique(3), dest, id_dict=id_dict)
-        [pat_dir] = [p for p in Path(dest).iterdir() if p.is_dir()]
-        back = spark.read.parquet(str(pat_dir))
-        v1, v2, v3 = (F.col(c) for c in back.columns)
-        lo = F.least(v1, v2, v3)
-        hi = F.greatest(v1, v2, v3)
-        mid = (v1 + v2 + v3) - lo - hi
-        return back.select(
-            lo.cast("long").alias("a"),
-            mid.cast("long").alias("b"),
-            hi.cast("long").alias("c"),
-        )
+        try:
+            output(rel, PatternGenerator.clique(3), dest, id_dict=id_dict)
+            [pat_dir] = [p for p in Path(dest).iterdir() if p.is_dir()]
+            back = spark.read.parquet(str(pat_dir))
+            v1, v2, v3 = (F.col(c) for c in back.columns)
+            lo = F.least(v1, v2, v3)
+            hi = F.greatest(v1, v2, v3)
+            mid = (v1 + v2 + v3) - lo - hi
+            # eagerly materialize the (small) normalized result so the sink
+            # directory can be removed NOW — returning a lazy parquet read
+            # would leak a temp dir per CI/oracle run
+            return back.select(
+                lo.cast("long").alias("a"),
+                mid.cast("long").alias("b"),
+                hi.cast("long").alias("c"),
+            ).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(dest, ignore_errors=True)
 
     q["output_triangles"] = q_output_triangles
 
@@ -897,14 +904,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["near_dup_jaccard"] = q_jaccard
 
     def q_minhash(spark, sf_dir):
-        return minhash_lsh_pairs(_documents(spark, sf_dir), threshold=0.5, k=3)
+        # bands = num_hashes (r=1): a qualifying pair (jaccard >= 0.5) is
+        # missed only if all 64 per-hash minima differ — P ≈ 0.5^64 ≈ 5e-20,
+        # and the exact-Jaccard verify step makes precision exact, so the
+        # output EQUALS jaccard_pairs (validated at sf0.001/0.01/0.1); the
+        # oracle is therefore the same SQL as near_dup_jaccard. Scale-path
+        # banding (r=4 S-curve) stays the library default, recall-checked
+        # in tests/test_text_pipeline.py.
+        return minhash_lsh_pairs(
+            _documents(spark, sf_dir), threshold=0.5, k=3, num_hashes=64, bands=64
+        )
 
-    q["near_dup_minhash_lsh"] = q_minhash  # rows-only: sketch recall pytest-checked
+    q["near_dup_minhash_lsh"] = q_minhash
 
     def q_simhash(spark, sf_dir):
-        return simhash_pairs(_documents(spark, sf_dir), max_hamming=3)
+        # md5_32 hash: 32-bit simhash whose per-token hash (first 8 hex
+        # chars of md5) is reproducible in ANSI SQL, so the oracle recomputes
+        # the SAME signatures in DuckDB; bands=4 > max_hamming=3 keeps the
+        # pigeonhole-exact guarantee. xxhash64 stays the scale-path default.
+        return simhash_pairs(_documents(spark, sf_dir), max_hamming=3, hash_fn="md5_32")
 
-    q["near_dup_simhash"] = q_simhash  # rows-only
+    q["near_dup_simhash"] = q_simhash
 
     # -- text-analysis tier -------------------------------------------------
     def q_token_stats(spark, sf_dir):
@@ -933,13 +953,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_topk"] = q_topk
 
     def q_topk_lsh(spark, sf_dir):
+        # Value-oracled at the REAL operating point: the hyperplanes are
+        # deterministic (ann.hyperplanes — hash-derived, no RNG), so the
+        # DuckDB oracle replicates the whole sketch — same plane literals,
+        # same sign-bit signatures, same 1-bit multi-probe bucket join,
+        # same exact re-rank — rather than pinning a degenerate 100%-recall
+        # config. dim=64 is pinned (testdata embeddings) so the entry is
+        # action-free and the oracle's plane literals provably match.
         emb = _embeddings(spark, sf_dir)
-        out = cosine_topk_lsh(emb, emb.where(F.col("vec_id") < 24), k=5, n_planes=6)
+        out = cosine_topk_lsh(
+            emb, emb.where(F.col("vec_id") < 24), k=5, n_planes=6, dim=64
+        )
         return out.select(
             "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "sim"
         )
 
-    q["embedding_topk_lsh"] = q_topk_lsh  # rows-only: recall pytest-checked
+    q["embedding_topk_lsh"] = q_topk_lsh
 
     def q_emb_near_dup(spark, sf_dir):
         # embedding-cosine near-dup pairs, exact all-pairs oracle baseline;
@@ -950,19 +979,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_near_dup"] = q_emb_near_dup
 
     def q_topk_ivf(spark, sf_dir):
+        # Value-oracled at the real operating point (nprobe=6 of 16 cells —
+        # genuine pruning): the quantizer is deterministic (stride-seeded by
+        # vec_id + one Lloyd step, ivf_centroids), so the DuckDB oracle
+        # retrains the SAME centroids in SQL and replicates assignment /
+        # probing / exact re-rank end-to-end.
         emb = _embeddings(spark, sf_dir)
-        return cosine_topk_ivf(
+        out = cosine_topk_ivf(
             emb, emb.where(F.col("vec_id") < 24), k=5, n_cells=16, nprobe=6
         )
-
-    q["embedding_topk_ivf"] = q_topk_ivf  # rows-only: recall pytest-checked
-
-    def q_emb_near_dup_lsh(spark, sf_dir):
-        return cosine_pairs_lsh(
-            _embeddings(spark, sf_dir), threshold=0.4, n_planes=16, bands=4
+        return out.select(
+            "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "sim"
         )
 
-    q["embedding_near_dup_lsh"] = q_emb_near_dup_lsh  # rows-only: recall pytest-checked
+    q["embedding_topk_ivf"] = q_topk_ivf
+
+    def q_emb_near_dup_lsh(spark, sf_dir):
+        # Value-oracled at the library-default banding (n_planes=16,
+        # bands=4): deterministic hyperplanes again let the DuckDB oracle
+        # replicate signature → banded bucket join → exact verify exactly.
+        return cosine_pairs_lsh(
+            _embeddings(spark, sf_dir), threshold=0.4, n_planes=16, bands=4, dim=64
+        )
+
+    q["embedding_near_dup_lsh"] = q_emb_near_dup_lsh
 
     # -- multimodal tier ----------------------------------------------------
     def q_binary_features(spark, sf_dir):
@@ -1322,6 +1362,160 @@ FROM r WHERE rank <= 5"""
   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4"""
+
+    # -- sketch-operator value oracles ---------------------------------------
+    # MinHash-LSH at r=1 (bands = num_hashes): a jaccard>=0.5 pair is missed
+    # only if all 64 independent per-hash minima differ — P <= 0.5^64 — and
+    # the exact-Jaccard verify step makes precision exact, so the output
+    # EQUALS jaccard_pairs (pinned in tests/test_text_pipeline.py); the
+    # oracle is therefore the exact-counterpart SQL. Scale-path banding
+    # (r=4 S-curve) stays the library default, recall-checked in pytest.
+    o["near_dup_minhash_lsh"] = o["near_dup_jaccard"]
+
+    # SimHash (md5_32): DuckDB recomputes the SAME 32-bit signatures — the
+    # per-token hash is the first 8 hex chars of md5, expressible in both
+    # engines — then filters all pairs by hamming <= 3. The Spark side's
+    # banded candidate generation is pigeonhole-exact for hamming <=
+    # bands-1 and its 10k bucket cap cannot trigger on 8-bit band values at
+    # test scale, so all-pairs IS the banded result.
+    sim_bits = "\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b},"
+        for b in range(32)
+    ).rstrip(",")
+    sim_acc = " + ".join(
+        f"(CASE WHEN s_{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(32)
+    )
+    o["near_dup_simhash"] = f"""WITH toks AS (
+  SELECT doc_id, unnest({TOKS_SQL}) AS t FROM documents),
+h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS h FROM toks),
+bits AS (
+  SELECT doc_id,
+    {sim_bits}
+  FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, ({sim_acc}) AS sh FROM bits)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS hamming
+FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.sh, y.sh)) <= 3"""
+
+    # LSH / IVF ANN oracles: the sketches are fully deterministic
+    # (hash-derived hyperplanes; stride-seeded + 1-Lloyd-step centroids), so
+    # the oracle REPLICATES the approximate algorithm in ANSI SQL at its
+    # real operating point — plane/centroid maths, bucket/cell candidate
+    # generation, exact re-rank — instead of pinning a degenerate
+    # probe-everything config. Plane literals come from the same
+    # ``hyperplanes`` function the Spark side uses.
+    from peregrine_spark.similarity.ann import hyperplanes
+
+    DIM = 64  # testdata embedding dimensionality (pinned in the entries too)
+
+    def _arr(vals):
+        return "([" + ", ".join(repr(float(x)) for x in vals) + "]::DOUBLE[])"
+
+    def _dotc(a, b):
+        return f"list_sum([{a}[i] * {b}[i] for i in generate_series(1, {DIM})])"
+
+    def _nrm(a):
+        return f"sqrt({_dotc(a, a)})"
+
+    def _sig_sql(planes):
+        return " + ".join(
+            f"(CASE WHEN {_dotc('v', _arr(p))} > 0.0"
+            f" THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+            for i, p in enumerate(planes)
+        )
+
+    planes6 = hyperplanes(DIM, 6)
+    probes6 = ", ".join(["sig"] + [f"xor(sig, {1 << p})" for p in range(6)])
+    o["embedding_topk_lsh"] = f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (
+  SELECT vec_id, v, {_nrm('v')} AS nrm, {_sig_sql(planes6)} AS sig FROM e),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+         unnest([{probes6}]) AS bucket
+  FROM sig WHERE vec_id < 24),
+cand AS (
+  SELECT DISTINCT query_id, c.vec_id AS neighbor_id,
+         {_dotc('qv', 'c.v')} / (qn * c.nrm) AS sim
+  FROM probes p JOIN sig c ON c.sig = p.bucket AND c.vec_id <> p.query_id),
+r AS (SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM cand)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 6) AS sim
+FROM r WHERE rank <= 5"""
+
+    planes16 = hyperplanes(DIM, 16)
+    o["embedding_near_dup_lsh"] = f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (
+  SELECT vec_id, v, {_nrm('v')} AS nrm, {_sig_sql(planes16)} AS sig FROM e),
+banded AS (
+  SELECT vec_id, v, nrm, band, (sig >> (band * 4)) & 15 AS val
+  FROM sig, generate_series(0, 3) t(band)),
+keep AS (
+  SELECT band, val FROM banded GROUP BY band, val HAVING count(*) <= 10000),
+bk AS (SELECT banded.* FROM banded JOIN keep USING (band, val)),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
+         {_dotc('x.v', 'y.v')} / (x.nrm * y.nrm) AS sim
+  FROM bk x JOIN bk y
+    ON x.band = y.band AND x.val = y.val AND x.vec_id < y.vec_id)
+SELECT a, b, round(sim, 6) AS sim FROM cand WHERE round(sim, 6) >= 0.4"""
+
+    # IVF: retrain the deterministic quantizer in SQL — stride-seeded on
+    # vec_id rank (ivf_centroids, ann.py), one Lloyd step (argmax-cosine
+    # assignment, per-component mean, empty cells keep their seed) — then
+    # nprobe=6 cell probing and exact re-rank, mirroring cosine_topk_ivf.
+    o["embedding_topk_ivf"] = f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT greatest(count(*) // 16, 1) AS stride FROM e),
+ranked AS (
+  SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rk FROM e),
+seeds AS (
+  SELECT CAST((rk - 1) // stride AS INTEGER) AS cell, v
+  FROM ranked, p WHERE (rk - 1) % stride = 0 AND rk <= stride * 16),
+a1 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, s.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_dotc('e.v', 's.v')} / ({_nrm('s.v')} * {_nrm('e.v')}) DESC,
+                      s.cell) AS rn
+    FROM e, seeds s) WHERE rn = 1),
+comp AS (
+  SELECT cell, i, avg(v[i]) AS m
+  FROM a1, generate_series(1, {DIM}) t(i) GROUP BY cell, i),
+mean_c AS (SELECT cell, list(m ORDER BY i) AS v FROM comp GROUP BY cell),
+cents AS (
+  SELECT s.cell, coalesce(m.v, s.v) AS v, {_nrm('coalesce(m.v, s.v)')} AS nrm
+  FROM seeds s LEFT JOIN mean_c m USING (cell)),
+cc AS (
+  SELECT vec_id, v, nrm, cell FROM (
+    SELECT e.vec_id, e.v, {_nrm('e.v')} AS nrm, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_dotc('e.v', 'c.v')} / (c.nrm * {_nrm('e.v')}) DESC,
+                      c.cell) AS rn
+    FROM e, cents c) WHERE rn = 1),
+probes AS (
+  SELECT query_id, qv, qn, cell FROM (
+    SELECT e.vec_id AS query_id, e.v AS qv, {_nrm('e.v')} AS qn, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_dotc('e.v', 'c.v')} / (c.nrm * {_nrm('e.v')}) DESC,
+                      c.cell) AS rn
+    FROM e, cents c WHERE e.vec_id < 24) WHERE rn <= 6),
+cand AS (
+  SELECT DISTINCT query_id, cc.vec_id AS neighbor_id,
+         {_dotc('qv', 'cc.v')} / (qn * cc.nrm) AS sim
+  FROM probes JOIN cc USING (cell) WHERE cc.vec_id <> query_id),
+r AS (SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM cand)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 6) AS sim
+FROM r WHERE rank <= 5"""
 
     o["binary_features"] = """SELECT doc_id AS asset_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

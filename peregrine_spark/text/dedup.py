@@ -198,16 +198,39 @@ def minhash_lsh_pairs(
     return out
 
 
+SIMHASH_BITS = {"xxhash64": 64, "md5_32": 32}
+
+
 def simhash(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 11
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 11,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(id, simhash) — 64-bit SimHash of the token multiset: per bit, the
-    signed sum of token-hash bits; bit set iff the sum is positive. One
-    explode + one groupBy with 64 conditional-sum aggregates."""
+    """(id, simhash) — SimHash of the token multiset: per bit, the signed
+    sum of token-hash bits; bit set iff the sum is positive. One explode +
+    one groupBy with one conditional-sum aggregate per bit.
+
+    ``hash_fn``:
+    * ``"xxhash64"`` (default) — 64-bit JVM hash, whole-stage codegen; the
+      scale path.
+    * ``"md5_32"`` — 32-bit hash from the first 8 hex chars of md5(token).
+      Both md5 and hex→int are expressible in ANSI SQL, so this variant is
+      bit-for-bit reproducible in DuckDB — it backs the value-oracled entry
+      query (``seed`` is ignored; md5 is unseeded in both engines).
+    """
+    n_bits = SIMHASH_BITS[hash_fn]
     tok = docs.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("t"),
-    ).withColumn("h", F.xxhash64("t", F.lit(seed)))
+    )
+    if hash_fn == "md5_32":
+        h = F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("t", F.lit(seed))
+    tok = tok.withColumn("h", h)
+
     # bit 63 of a signed long is the sign bit: its mask literal is the
     # negative two's-complement value (1 << 63 overflows LongType)
     def mask(b: int) -> int:
@@ -219,11 +242,11 @@ def simhash(
                 F.lit(-1)
             )
         ).alias(f"s_{b}")
-        for b in range(64)
+        for b in range(n_bits)
     ]
     sums = tok.groupBy("id").agg(*bit_sums)
     acc = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(n_bits):
         acc = acc + F.when(
             F.col(f"s_{b}") > 0, F.lit(mask(b)).cast("long")
         ).otherwise(F.lit(0).cast("long"))
@@ -237,15 +260,18 @@ def simhash_pairs(
     id_col: str = "doc_id",
     bands: int = 4,
     max_bucket: int = 10_000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: (a, b, hamming <= max_hamming).
 
-    Banding over the 64-bit hash (16-bit bands): any pair within hamming
+    Banding over the hash (width = n_bits/bands): any pair within hamming
     distance < bands must agree on >= 1 band (pigeonhole), so candidate
     generation is again a linear bucket groupBy; verification is
-    ``bit_count(a XOR b)``. Exact for max_hamming <= bands - 1."""
-    width = 64 // bands
-    sig = simhash(docs, text_col, id_col)
+    ``bit_count(a XOR b)``. Exact for max_hamming <= bands - 1.
+    ``hash_fn="md5_32"`` selects the ANSI-SQL-reproducible 32-bit simhash
+    (see :func:`simhash`) — same pigeonhole exactness, oracle-checkable."""
+    width = SIMHASH_BITS[hash_fn] // bands
+    sig = simhash(docs, text_col, id_col, hash_fn=hash_fn)
     parts = sig.select(
         "id",
         "simhash",

@@ -104,6 +104,57 @@ def test_minhash_lsh_finds_planted_dups(docs):
     assert got <= exact  # precision is exact (verified candidates)
 
 
+def test_minhash_r1_equals_exact_jaccard(docs):
+    # the regime backing the near_dup_minhash_lsh value oracle: bands ==
+    # num_hashes (r=1) makes a jaccard>=t pair's miss probability (1-t)^64
+    # and the exact-Jaccard verify makes precision exact, so the LSH output
+    # EQUALS jaccard_pairs — which has a DuckDB oracle
+    got = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in minhash_lsh_pairs(
+            docs, threshold=0.5, num_hashes=64, bands=64
+        ).collect()
+    }
+    exact = {
+        (r["a"], r["b"], r["jaccard"]) for r in jaccard_pairs(docs, 0.5).collect()
+    }
+    assert got == exact
+
+
+def _py_simhash32(text: str) -> int:
+    sums = [0] * 32
+    for t in text.split():
+        h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        for b in range(32):
+            sums[b] += 1 if (h >> b) & 1 else -1
+    return sum(1 << b for b in range(32) if sums[b] > 0)
+
+
+def test_simhash_md5_32_matches_python(docs):
+    # the regime backing the near_dup_simhash value oracle: the md5_32
+    # variant's per-token hash is reproducible outside Spark, so signatures
+    # (and therefore the pigeonhole-exact banded pairs) are independently
+    # recomputable — here against a pure-Python oracle, in __spark_entry__
+    # against DuckDB
+    sigs = {
+        r["id"]: r["simhash"]
+        for r in simhash(docs, hash_fn="md5_32").collect()
+    }
+    assert sigs == {i: _py_simhash32(t) for i, t, _ in DOCS}
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_pairs(docs, 3, hash_fn="md5_32").collect()
+    }
+    expect = {}
+    for i, ti, _ in DOCS:
+        for j, tj, _ in DOCS:
+            if i < j:
+                ham = bin(_py_simhash32(ti) ^ _py_simhash32(tj)).count("1")
+                if ham <= 3:
+                    expect[(i, j)] = ham
+    assert got == expect
+
+
 def test_simhash_near_dup(docs, spark):
     sigs = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
     assert sigs[0] == sigs[1]
