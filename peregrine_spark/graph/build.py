@@ -28,6 +28,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from peregrine_spark.session import release_checkpoint
+
 
 @dataclass
 class GraphTables:
@@ -56,7 +58,8 @@ class GraphTables:
         lazy id-join pass share one materialization). Call once the edge /
         vertex tables have been materialized or written out."""
         for df in self._cached:
-            df.unpersist()
+            if df is not None:
+                release_checkpoint(df)
 
 
 def import_edges(src_df: DataFrame) -> DataFrame:
@@ -155,7 +158,9 @@ def kcore(edges: DataFrame, k: int, max_iters: int = 100) -> DataFrame:
         m = nxt.count()
         # only the LATEST checkpoint stays alive: without this, every peel
         # round's blocks accumulate in executor storage for the whole call
-        cur.unpersist()
+        # (release_checkpoint, not unpersist: checkpoint blocks live on the
+        # LogicalRDD, which DataFrame.unpersist silently misses)
+        release_checkpoint(cur)
         cur = nxt
         if m == n:
             break
@@ -210,7 +215,7 @@ def contiguous_rank(
         .drop("_pid", "_off")
         .localCheckpoint(eager=True)
     )
-    part.unpersist()
+    release_checkpoint(part)
     return out
 
 
@@ -231,11 +236,16 @@ def assign_degree_ids(key_edges: DataFrame) -> DataFrame:
     ranked = contiguous_rank(
         degrees, [F.col("degree").desc(), F.col("key").asc()], "v"
     )
-    return ranked.select(F.col("v"), "key", "degree")
+    out = ranked.select(F.col("v"), "key", "degree")
+    # handle to the checkpointed ranking blocks, so callers can release
+    # executor storage once vertices/edges are materialized (build_graph
+    # routes it into GraphTables._cached; see GraphTables.unpersist)
+    out.ranking_cache = ranked
+    return out
 
 
 def convert_edge_list(
-    spark, path: str, comment: str = "#"
+    spark, path: str, comment: str = "#", strict: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """One-call parity with the reference converter's TEXT input
     (``convert_data`` on a plain edge list, core/DataConverter.cc:205-464):
@@ -253,14 +263,37 @@ def convert_edge_list(
     file, the scan here is already partitioned."""
     from pyspark.sql import functions as F  # noqa: F811 (local for clarity)
 
-    lines = spark.read.text(path)
+    lines = spark.read.text(path).select(F.trim(F.col("value")).alias("value"))
+    # trim BEFORE the comment check so indented comment lines are comments,
+    # not accidental parse failures; blank lines are never edges
+    lines = lines.where(F.col("value") != "")
     if comment:
         lines = lines.where(~F.col("value").startswith(comment))
-    parts = F.split(F.trim(F.col("value")), r"\s+")
-    pairs = lines.select(
-        parts.getItem(0).cast("long").alias("a"),
-        parts.getItem(1).cast("long").alias("b"),
-    ).where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    parts = F.split(F.col("value"), r"\s+")
+    # try_cast: non-integer tokens become NULL (counted below) instead of
+    # an opaque ANSI-mode CAST_INVALID_INPUT executor crash
+    cast = lines.select(
+        "value",
+        parts.getItem(0).try_cast("long").alias("a"),
+        parts.getItem(1).try_cast("long").alias("b"),
+    )
+    if strict:
+        # the reference converter parses strictly (core/DataConverter.cc:
+        # 205-464 aborts on garbage); a silently smaller graph is worse
+        # than a failed ingest, so surface malformed lines instead of
+        # letting the null cast drop them
+        bad = cast.where(F.col("a").isNull() | F.col("b").isNull())
+        n_bad = bad.count()
+        if n_bad:
+            sample = [r["value"] for r in bad.limit(3).collect()]
+            raise ValueError(
+                f"convert_edge_list: {n_bad} malformed line(s) in {path} "
+                f"(not two integer tokens), e.g. {sample!r}; pass "
+                f"strict=False to drop them"
+            )
+    pairs = cast.select("a", "b").where(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    )
     from peregrine_spark.graph.from_tables import relabel_by_degree
 
     return relabel_by_degree(edges_from_pairs(pairs))
@@ -308,5 +341,9 @@ def build_graph(src_df: DataFrame, include_co_commit: bool = True) -> GraphTable
         vertices=vertices,
         edges=edges,
         labels=langs.select("label", "lang"),
-        _cached=(key_edges,),
+        # key_edges: the persisted string-key edge table; vmap.ranking_cache:
+        # the degree-ranking's checkpoint blocks (contiguous_rank) — both
+        # released together by GraphTables.unpersist() once the edge/vertex
+        # tables are materialized
+        _cached=(key_edges, vmap.ranking_cache),
     )

@@ -107,6 +107,7 @@ def relabel_by_degree(
             F.col("v").alias("old"),
             "degree",
         )
+        mapping.ranking_cache = None
     else:
         ranked = contiguous_rank(
             deg, [F.col("degree").desc(), F.col("v").asc()], "_rank"
@@ -114,6 +115,11 @@ def relabel_by_degree(
         mapping = ranked.select(
             F.col("_rank").alias("v"), F.col("v").alias("old"), "degree"
         )
+        # contiguous_rank eagerly checkpoints the ranking; expose the handle
+        # so long-lived sessions can release the blocks once the relabelled
+        # edges / mapping have been materialized:
+        #   release_checkpoint(mapping.ranking_cache)
+        mapping.ranking_cache = ranked
     m_src = mapping.select(F.col("old").alias("src"), F.col("v").alias("_sv"))
     m_dst = mapping.select(F.col("old").alias("dst"), F.col("v").alias("_dv"))
     relabelled = (

@@ -347,16 +347,16 @@ def fsm(
     )
     # the seed collect is O(|labels|^2) rows to the driver — fine for label
     # VOCABULARIES (the reference's labels are small ints), catastrophic if
-    # a caller keys labels on a high-cardinality column. Count first (one
-    # cheap distributed agg over the already-distinct frame) and refuse.
-    n_seeds = seed_df.limit(max_seeds + 1).count()
-    if n_seeds > max_seeds:
+    # a caller keys labels on a high-cardinality column. One capped collect
+    # serves both the guard and the seeds — limit(max_seeds+1) bounds what
+    # can ever reach the driver, and overflow means refuse.
+    seed_pairs = seed_df.limit(max_seeds + 1).collect()
+    if len(seed_pairs) > max_seeds:
         raise ValueError(
             f"FSM seed discovery found > {max_seeds} distinct label pairs — "
             "the label column looks high-cardinality (labels must be a small "
             "vocabulary); bucket/hash the labels first or raise max_seeds"
         )
-    seed_pairs = seed_df.collect()
     all_labels = sorted({r["la"] for r in seed_pairs} | {r["lb"] for r in seed_pairs})
     seen: dict = {}
     for r in seed_pairs:

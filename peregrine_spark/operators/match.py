@@ -25,6 +25,7 @@ from peregrine_spark.patterns.small_graph import PatternGenerator, SmallGraph
 from peregrine_spark.plans.compiler import MatchPlan, compile_match
 from peregrine_spark.plans.counts import convert_counts
 from peregrine_spark.plans.fast_counts import fast_count
+from peregrine_spark.session import release_checkpoint
 
 
 def match(
@@ -174,7 +175,7 @@ def existence(
                 return len(clique_rows(core, k).limit(1).take(1)) > 0
             finally:
                 if core is not edges:
-                    core.unpersist()
+                    release_checkpoint(core)
     df = match(edges, pattern, vertices)
     return len(df.limit(1).take(1)) > 0
 

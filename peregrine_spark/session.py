@@ -63,3 +63,29 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_checkpoint(df) -> None:
+    """Release the executor storage behind ``df``, whether it is plan-cached
+    (``persist``) or eagerly ``localCheckpoint``-ed.
+
+    ``DataFrame.unpersist()`` only uncaches PLAN-cached data. A
+    localCheckpoint stores its blocks on the RDD inside the plan's
+    ``LogicalRDD`` leaf, which the cache manager never sees — measured on
+    Spark 4.1: after ``df.localCheckpoint(eager=True).unpersist()`` the RDD
+    still sits in ``sc.getPersistentRDDs`` until the session dies. Every
+    iterative operator here (kcore peel, superstep engine, contiguous_rank)
+    checkpoints per round, so a silent no-op release accumulates one
+    state-table of blocks PER ROUND for the life of the session — at 100 TB
+    that is the difference between bounded and unbounded executor storage.
+
+    Best-effort: quietly does nothing if the plan shape is not a direct
+    checkpoint (nothing to release) or the py4j internals move.
+    """
+    df.unpersist()
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:  # pragma: no cover — best-effort release
+        pass

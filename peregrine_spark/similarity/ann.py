@@ -24,6 +24,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from peregrine_spark.session import release_checkpoint
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -319,7 +321,7 @@ def ivf_centroids(
         .select("_rk", vec_col)
         .collect()
     )
-    ranked.unpersist()
+    release_checkpoint(ranked)
     seeds.sort(key=lambda r: r["_rk"])  # collect order is partition order
     cents = [list(map(float, r[1])) for r in seeds]
     for _ in range(lloyd_iters):

@@ -33,6 +33,8 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from peregrine_spark.session import release_checkpoint
+
 
 def auto_shuffle_partitions(
     spark: SparkSession,
@@ -206,6 +208,7 @@ class SuperstepEngine:
     def _loop(self, state, step_fn, start_iter, max_iters, tol, metrics):
         converged = False
         i = start_iter - 1
+        own_ckpt = None  # the engine's own live localCheckpoint, if any
         for i in range(start_iter, max_iters):
             t0 = time.monotonic()
             new_state, delta = step_fn(state, i)
@@ -225,6 +228,13 @@ class SuperstepEngine:
                 # plan-truncation without durability (intra-checkpoint steps)
                 new_state = new_state.localCheckpoint()
                 lineage = None
+            # the new state is materialized (parquet or eager checkpoint) —
+            # the PREVIOUS round's engine-made checkpoint blocks are dead
+            # weight now; without this every superstep retains one state
+            # table in executor storage for the life of the session
+            if own_ckpt is not None:
+                release_checkpoint(own_ckpt)
+            own_ckpt = new_state if lineage is None else None
 
             m = {
                 "run_id": self.run_id,

@@ -161,3 +161,43 @@ def test_convert_edge_list_text_ingest(spark, tmp_path):
     # every edge is canonical and uses the new contiguous ids
     for r in edges.collect():
         assert 1 <= r["src"] < r["dst"] <= 6
+
+
+def test_convert_edge_list_strict_parsing(spark, tmp_path):
+    """Strict mode surfaces malformed lines (the reference converter parses
+    strictly — a silently smaller graph is worse than a failed ingest);
+    indented comments are comments, blank lines are ignored."""
+    from peregrine_spark.graph.build import convert_edge_list
+
+    ok = tmp_path / "ok.edges"
+    ok.write_text("  # indented comment\n\n1 2\n2 3\n")
+    edges, _ = convert_edge_list(spark, str(ok))
+    assert edges.count() == 2
+
+    bad = tmp_path / "bad.edges"
+    bad.write_text("1 2\nnot an edge\n2 3\n")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="malformed"):
+        convert_edge_list(spark, str(bad))
+    # opt-out keeps the old drop-garbage behavior
+    edges, _ = convert_edge_list(spark, str(bad), strict=False)
+    assert edges.count() == 2
+
+
+def test_ingest_releases_ranking_cache(spark):
+    """GraphTables.unpersist() releases BOTH the persisted key-edge table and
+    the degree-ranking checkpoint blocks (contiguous_rank) — a long session
+    ingesting many graphs must not accumulate executor storage."""
+    from peregrine_spark.graph.build import build_graph
+    from peregrine_spark.tables import source_repo_table
+
+    def persistent_ids():
+        return {int(i) for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
+
+    before = persistent_ids()
+    g = build_graph(source_repo_table(spark, n_files=60))
+    g.edges.count(), g.vertices.count()
+    g.unpersist()
+    after = persistent_ids()
+    assert after <= before

@@ -254,3 +254,27 @@ def test_resume_from_torn_checkpoint(spark, tmp_path):
     ]
     # metrics: 0..4 from the first run, then 4..7 re-appended by the resume
     assert [m["iteration"] for m in lines] == [0, 1, 2, 3, 4, 4, 5, 6, 7]
+
+
+def test_superstep_engine_releases_checkpoints(spark):
+    """Each superstep localCheckpoints its state for plan truncation; the
+    engine must release the superseded round's blocks — otherwise a long
+    run retains one state table PER SUPERSTEP in executor storage.
+    DataFrame.unpersist() is a silent no-op on checkpoint blocks (they live
+    on the LogicalRDD), hence session.release_checkpoint."""
+
+    def persistent_ids():
+        return {
+            int(i)
+            for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        }
+
+    pairs = er_graph(40, 0.15, seed=33)
+    e = edges_df(spark, pairs)
+    before = persistent_ids()
+    res = pagerank(e, max_iters=12, tol=0.0)
+    res.state.count()
+    after = persistent_ids()
+    # at most the FINAL state's checkpoint may remain live (the caller owns
+    # the result); the 11 superseded rounds must all be gone
+    assert len(after - before) <= 1, after - before

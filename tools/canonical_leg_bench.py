@@ -55,6 +55,7 @@ def main() -> None:
            "reps": args.reps, "queries": {}}
     for name, p in pats.items():
         res = {}
+        mode_counts = {}
         for mode, canon in (("plain", None), ("canonical", edges)):
             walls, counts = [], set()
             for _ in range(args.reps):
@@ -68,7 +69,14 @@ def main() -> None:
             assert len(counts) == 1, (name, mode, counts)
             res[mode] = round(min(walls), 3)
             res[f"{mode}_reps"] = [round(w, 3) for w in walls]
-            res["count"] = counts.pop()
+            mode_counts[mode] = counts.pop()
+        # the measured configuration must agree ACROSS modes, not just
+        # within each — a plain-vs-canonical divergence is a correctness
+        # bug, not a benchmark result
+        assert mode_counts["plain"] == mode_counts["canonical"], (
+            name, mode_counts,
+        )
+        res["count"] = mode_counts["plain"]
         res["speedup"] = round(res["plain"] / res["canonical"], 3)
         out["queries"][name] = res
         print(f"# {name}: {res['plain']} -> {res['canonical']} s "
