@@ -1033,6 +1033,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_tumbling_hourly"] = q_tumbling
 
+    def q_first_seen(spark, sf_dir):
+        # the stateful-streaming tier under the hard signal: this is the
+        # batch-equivalent of streaming_first_seen_events
+        # (applyInPandasWithState), pinned equal to the streaming path in
+        # tests/test_streaming.py::test_first_seen_stream_batch_parity
+        from peregrine_spark.streaming.stateful import first_seen_events
+
+        return first_seen_events(_events(spark, sf_dir))
+
+    q["events_first_seen"] = q_first_seen
+
     def q_sliding(spark, sf_dir):
         out = sliding_agg(_events(spark, sf_dir), "1 hour", "30 minutes")
         return out.select(
@@ -1533,6 +1544,13 @@ SELECT asset_id, unnest(generate_series(0, total - 1, 2)[1:8]) AS frame_index FR
   CAST(count(*) AS BIGINT) AS n_events,
   round(sum(value), 4) AS total_value
 FROM events GROUP BY 1, 2"""
+
+    o["events_first_seen"] = """SELECT user_id, event_type,
+       event_id AS first_event_id, epoch_us(ts) AS first_ts_us
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+      FROM events)
+WHERE rn = 1"""
 
     o["events_sliding_counts"] = """WITH b AS (
   SELECT time_bucket(INTERVAL '30 minutes', ts) AS b30 FROM events),

@@ -34,6 +34,7 @@ MNI is anti-monotone, so threshold pruning between levels is sound.
 from __future__ import annotations
 
 import itertools
+import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -303,6 +304,7 @@ def fsm(
     level_chunk: int = 4,
     max_edges: int | None = None,
     max_seeds: int = 100_000,
+    level_metrics: list | None = None,
 ) -> list[tuple[SmallGraph, int]]:
     """Mine labelled patterns with MNI support >= ``support`` up to
     ``max_vertices`` pattern vertices. Returns fully-labelled patterns only.
@@ -325,6 +327,10 @@ def fsm(
     variant + per-label vector aggregation (one match job covers all labels
     outside the pattern's own set). ``discover=False`` enumerates every
     observed label explicitly (one job each) — kept as the cross-check path.
+
+    ``level_metrics``: optional caller list; one dict per level is appended
+    ({level, candidates, survivors, seconds}) — the bench harness's level
+    breakdown (the reference reports per-size timings, README.md:100-105).
     """
     from peregrine_spark.supersteps.engine import (
         auto_shuffle_partitions,
@@ -336,7 +342,18 @@ def fsm(
     lab = vertices.select("v", "label")
     # the per-candidate match/support jobs are many and individually small;
     # size their shuffles to the graph, not the session default
-    n_part = auto_shuffle_partitions(spark, 2 * edges.count())
+    n_edges = edges.count()
+    n_part = auto_shuffle_partitions(spark, 2 * n_edges)
+    # broadcast guard: a level runs up to 32 chunk jobs CONCURRENTLY, and on
+    # a large graph Catalyst happily broadcasts the (say 500k-row / ~15 MB)
+    # edge table into every join leg of every concurrent plan -- measured
+    # OOM of a 24g single-JVM session at SF=0.1. Cap the auto-broadcast
+    # threshold for the mining loop on big graphs (small graphs keep their
+    # broadcast joins; the label table stays broadcastable either way).
+    bcast_key = "spark.sql.autoBroadcastJoinThreshold"
+    bcast_before = spark.conf.get(bcast_key)
+    cap_broadcast = n_edges > 100_000
+    cap_bytes = str(4 * 1024 * 1024)
     seed_df = (
         edges.join(lab.withColumnsRenamed({"v": "src", "label": "la"}), "src")
         .join(lab.withColumnsRenamed({"v": "dst", "label": "lb"}), "dst")
@@ -364,11 +381,30 @@ def fsm(
         seen.setdefault(canonical_form(g), g)
     candidates = list(seen.values())
 
+    if cap_broadcast and (bcast_before == "" or int(bcast_before) > int(cap_bytes)):
+        spark.conf.set(bcast_key, cap_bytes)
+    try:
+        return _fsm_loop(
+            spark, candidates, sym, lab, edges, support, max_vertices,
+            max_edges, discover, level_chunk, all_labels, n_part,
+            level_metrics, shuffle_partitions,
+        )
+    finally:
+        spark.conf.set(bcast_key, bcast_before)
+
+
+def _fsm_loop(
+    spark, candidates, sym, lab, edges, support, max_vertices, max_edges,
+    discover, level_chunk, all_labels, n_part, level_metrics,
+    shuffle_partitions,
+):
     results: list[tuple[SmallGraph, int]] = []
     result_cfs: set = set()
     attempted = {canonical_form(g) for g in candidates}
-
+    level_no = 0
     while candidates:
+        level_no += 1
+        t_level = time.monotonic()
         # a level is evaluated as small concurrent union-jobs; match-plan
         # construction is deferred into the worker threads (lazy match_fn)
         items = []
@@ -409,6 +445,15 @@ def fsm(
                 result_cfs.add(cf)
                 results.append((g, s))
                 new_frequent.append(g)
+        if level_metrics is not None:
+            level_metrics.append(
+                {
+                    "level": level_no,
+                    "candidates": len(candidates),
+                    "survivors": len(new_frequent),
+                    "seconds": round(time.monotonic() - t_level, 3),
+                }
+            )
         if not new_frequent:
             break
         # extend frequent patterns: a new labelled vertex (vertex growth) or

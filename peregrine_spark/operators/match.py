@@ -187,13 +187,24 @@ def output(
     vertices: DataFrame | None = None,
     id_dict: DataFrame | None = None,
     fmt: str = "parquet",
+    broadcast_dict: bool = True,
 ) -> DataFrame:
     """Materialize all matches under ``path`` (one dir per pattern, like the
     reference's dir-per-pattern CSV layout). If ``id_dict`` (v, key) is
     given, vertex ids are remapped to original keys on write (the
-    reference's ids.bin remap, core/OutputManager.hh:130-143)."""
+    reference's ids.bin remap, core/OutputManager.hh:130-143).
+
+    ``broadcast_dict`` (default): hint a broadcast of the id dictionary so
+    the k per-column remaps are map-side joins — the match table is the
+    WIDEST table in the query (at 100 TB it is the biggest thing in
+    flight), and without the hint each remap shuffles it again, k times.
+    Pass False when the dictionary itself is too big to broadcast (then
+    the k joins shuffle on the vertex id — the reference's ids.bin mmap
+    has the same memory-vs-IO tradeoff, core/DataGraph.cc:128-143)."""
     m = match(edges, pattern, vertices)
     if id_dict is not None:
+        if broadcast_dict:
+            id_dict = F.broadcast(id_dict)
         vcols = list(m.columns)
         for c in vcols:
             d = id_dict.select(F.col("v").alias(c), F.col("key").alias(f"{c}_key"))

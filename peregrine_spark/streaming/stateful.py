@@ -77,3 +77,88 @@ def streaming_exact_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- first-seen event dedup (key = user_id x event_type) ----------------------
+
+FIRST_SEEN_OUT_SCHEMA = (
+    "user_id long, event_type string, first_event_id long, first_ts_us long"
+)
+FIRST_SEEN_STATE_SCHEMA = "first_ts_us long, first_event_id long"
+
+
+def first_seen_events(events: DataFrame) -> DataFrame:
+    """BATCH first-seen dedup of an event feed: one row per (user_id,
+    event_type) carrying the earliest event by (ts, event_id) — the exact
+    batch-equivalent of :func:`streaming_first_seen_events` (pinned equal
+    in tests/test_streaming.py when micro-batches arrive in event-time
+    order, the production log-ingest shape).
+
+    One shuffle: a window partitioned by the (high-cardinality) key — never
+    a global sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            # cast: parquet event times are TIMESTAMP_NTZ; session TZ is UTC
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("first_ts_us"),
+        )
+    )
+
+
+def _first_seen_fn(
+    key: Tuple[int, str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Emit the (ts, event_id)-min event of the key's FIRST batch; nothing
+    after (first-seen semantics — equals the global minimum when batches
+    arrive in event-time order)."""
+    if state.exists:
+        for _ in pdfs:
+            pass
+        return
+    best = None
+    for pdf in pdfs:
+        if len(pdf):
+            row = pdf.sort_values(["ts_us", "event_id"]).iloc[0]
+            cand = (int(row["ts_us"]), int(row["event_id"]))
+            if best is None or cand < best:
+                best = cand
+    if best is not None:
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "first_event_id": [best[1]],
+                "first_ts_us": [best[0]],
+            }
+        )
+
+
+def streaming_first_seen_events(events: DataFrame) -> DataFrame:
+    """Streaming first-seen event dedup (append mode): one output row per
+    (user_id, event_type) across the whole stream — the stateful-streaming
+    form of :func:`first_seen_events`, same applyInPandasWithState shape as
+    :func:`streaming_exact_dedup` (key-partitioned state, Arrow-batched
+    transition, never per-row Python)."""
+    keyed = events.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type").cast("string").alias("event_type"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return keyed.groupBy("user_id", "event_type").applyInPandasWithState(
+        _first_seen_fn,
+        outputStructType=FIRST_SEEN_OUT_SCHEMA,
+        stateStructType=FIRST_SEEN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

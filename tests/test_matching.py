@@ -270,3 +270,25 @@ def test_seven_vertex_patterns_generic_compiler(spark):
         got = compile_match(symmetrized(e), pat).df.count()
         want = brute_count_backtracking(pairs, pat)
         assert got == want > 0, pat.to_string()
+
+
+def test_eight_vertex_patterns_generic_compiler(spark):
+    """8-vertex patterns (the 8-cycle and an 8-vertex caterpillar tree)
+    through the generic join compiler, extending the 7-vertex coverage
+    toward the reference's size-9 ceiling (core/PatternGenerator.cc:
+    477-548), vs the independent backtracking injective-hom / |Aut|
+    oracle. Canonical-leg mode pinned equal on the same patterns."""
+    from peregrine_spark.graph.build import symmetrized
+    from peregrine_spark.plans.compiler import compile_match
+    from tests.oracle import brute_count_backtracking
+
+    pairs = er_graph(16, 0.3, seed=29)
+    e = edges_df(spark, pairs)
+    caterpillar8 = SmallGraph(
+        edges=[(1, 2), (2, 3), (3, 4), (4, 5), (2, 6), (3, 7), (4, 8)]
+    )
+    for pat in (PatternGenerator.cycle(8), caterpillar8):
+        got = compile_match(symmetrized(e), pat).df.count()
+        canon = compile_match(symmetrized(e), pat, edges_canonical=e).df.count()
+        want = brute_count_backtracking(pairs, pat)
+        assert got == canon == want > 0, pat.to_string()

@@ -72,3 +72,28 @@ def test_text_and_graph_hot_paths_stay_jvm_side(spark):
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "MapInPandas" not in plan
+
+
+def test_output_remap_broadcasts_id_dict(spark, tmp_path):
+    """output()'s original-id remap joins the id dictionary once per match
+    column; with broadcast_dict (the default for dictionary-sized dicts)
+    all k joins must be map-side BroadcastHashJoins — the match table is
+    the widest table in the query, and a shuffle join per column would
+    shuffle it k times at 100 TB."""
+    from peregrine_spark.graph.build import canonical_edges
+    from peregrine_spark.operators.match import output
+    from peregrine_spark.patterns.small_graph import PatternGenerator
+
+    pairs = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (1, 4), (4, 5)]
+    e = canonical_edges(
+        spark.createDataFrame(pairs, "src long, dst long")
+    )
+    id_dict = spark.createDataFrame(
+        [(v, f"orig_{v}") for v in range(1, 6)], "v long, key string"
+    )
+    m = output(e, PatternGenerator.clique(3), str(tmp_path / "out"), id_dict=id_dict)
+    plan = plan_of(m)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    # and the remap itself is value-correct
+    rows = {tuple(sorted(r)) for r in m.collect()}
+    assert ("orig_1", "orig_2", "orig_3") in rows

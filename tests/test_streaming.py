@@ -128,3 +128,54 @@ def test_streaming_exact_dedup_stateful(spark, tmp_path):
     assert set(got) == {"a", "b", "c"}
     assert got["b"] == 3 and got["c"] == 4
     assert got["a"] == 1
+
+
+def test_first_seen_stream_batch_parity(spark, tmp_path):
+    """The streaming stateful first-seen operator equals its batch form
+    (the oracled entry `events_first_seen`) when micro-batches arrive in
+    event-time order — the production log-ingest shape. Three files split
+    by ts bucket, one per micro-batch."""
+    from peregrine_spark.streaming.stateful import (
+        first_seen_events,
+        streaming_first_seen_events,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = tmp_path / "ev"
+    d.mkdir()
+    bounds = [r[0] for r in events.selectExpr(
+        "percentile_approx(ts, array(0.33, 0.66))"
+    ).collect()][0]
+    parts = [
+        events.where(F.col("ts") <= bounds[0]),
+        events.where((F.col("ts") > bounds[0]) & (F.col("ts") <= bounds[1])),
+        events.where(F.col("ts") > bounds[1]),
+    ]
+    # file order == event-time order (maxFilesPerTrigger consumes files in
+    # path order, so name them 0,1,2)
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(str(d / f"{i}"))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+    q = (
+        streaming_first_seen_events(stream)
+        .writeStream.format("memory")
+        .queryName("first_seen_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["event_type"]): (r["first_event_id"], r["first_ts_us"])
+        for r in spark.sql("SELECT * FROM first_seen_stream").collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"]): (r["first_event_id"], r["first_ts_us"])
+        for r in first_seen_events(events).collect()
+    }
+    assert got == want and len(want) > 0
