@@ -732,6 +732,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["output_triangles"] = q_output_triangles
 
+    def q_output_triangles_bin(spark, sf_dir):
+        # the same sink loop through the PACKED-BINARY format — the
+        # reference's output<BIN> (core/OutputManager.hh:80-91): fixed
+        # 3x4-byte little-endian u32 records, one file per partition,
+        # original-id remapped on write, re-read distributed via
+        # binaryFile + an Arrow unpack kernel; same oracle as the parquet
+        # sink, so a byte-layout bug value-mismatches
+        import shutil
+        import tempfile
+        from pathlib import Path
+
+        from peregrine_spark.graph.binfmt import read_matches_bin
+        from peregrine_spark.operators.match import output
+
+        rel, mapping = _relabelled_with_map(spark, sf_dir)
+        id_dict = mapping.select("v", F.col("old").alias("key"))
+        dest = tempfile.mkdtemp(prefix="peregrine_output_triangles_bin_")
+        try:
+            output(
+                rel, PatternGenerator.clique(3), dest, id_dict=id_dict, fmt="bin"
+            )
+            [pat_dir] = [p for p in Path(dest).iterdir() if p.is_dir()]
+            back = read_matches_bin(spark, pat_dir, 3)
+            v1, v2, v3 = (F.col(c) for c in back.columns)
+            lo = F.least(v1, v2, v3)
+            hi = F.greatest(v1, v2, v3)
+            mid = (v1 + v2 + v3) - lo - hi
+            return back.select(
+                lo.cast("long").alias("a"),
+                mid.cast("long").alias("b"),
+                hi.cast("long").alias("c"),
+            ).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(dest, ignore_errors=True)
+
+    q["output_triangles_bin"] = q_output_triangles_bin
+
     def q_p1_diamond(spark, sf_dir):
         # the reference's query/p1.graph (4-vertex diamond, K4 minus an
         # edge; README.md:91-94 counts it on citeseer) through the generic
@@ -1230,6 +1267,10 @@ SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
 FROM e e1
 JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
 JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst"""
+
+    # the BIN sink round-trips the SAME matches through the packed-u32
+    # format, so the oracle is identical
+    o["output_triangles_bin"] = o["output_triangles"]
 
     o["fsm_labelled_edges"] = f"""WITH e AS MATERIALIZED ({e}),
 el AS (SELECT src, dst, src % 5 AS ls, dst % 5 AS ld FROM e),

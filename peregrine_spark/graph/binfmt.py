@@ -117,6 +117,94 @@ def load_bin_graph(
     return edges, vertices, id_dict
 
 
+def write_matches_bin(matches: DataFrame, dest: str | Path) -> int:
+    """Packed-binary match sink — byte-compatible with the reference's
+    ``output<BIN>`` record layout (core/OutputManager.hh:80-91): each match
+    is ``num_vertices`` little-endian u32s, records concatenated with no
+    header or delimiter.  One file per write partition, mirroring the
+    reference's one file per worker thread (core/OutputManager.hh:59-75);
+    ``dest`` must be a filesystem every executor can reach, exactly like
+    the reference's shared output root.
+
+    All columns must be integers that fit u32 (the reference's vertex id
+    type); the kernel raises on overflow or negatives rather than silently
+    truncating.  Returns the number of matches written."""
+    dest = Path(dest)
+    dest.mkdir(parents=True, exist_ok=True)
+    for stale in dest.glob("*.bin"):  # overwrite semantics, like the
+        stale.unlink()  # parquet/csv sinks (the reference O_TRUNCs per file)
+    cols = list(matches.columns)
+    dest_str = str(dest)
+
+    def pack(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        n = 0
+        fh = None
+        try:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                arr = pdf[cols].to_numpy(dtype=np.int64)
+                if arr.min() < 0 or arr.max() > 0xFFFFFFFF:
+                    raise ValueError(
+                        "match vertex id outside u32 — the reference's BIN "
+                        "record type (core/OutputManager.hh:80-91); use the "
+                        "parquet sink for wider keys"
+                    )
+                if fh is None:  # lazy: empty partitions leave no file
+                    fh = open(f"{dest_str}/part-{pid:05d}.bin", "wb")
+                fh.write(arr.astype("<u4").tobytes())
+                n += len(pdf)
+        finally:
+            if fh is not None:
+                fh.close()
+        yield pd.DataFrame({"n": [n]})
+
+    counts = matches.mapInPandas(pack, "n long")
+    return sum(r.n for r in counts.collect())
+
+
+def read_matches_bin(
+    spark: SparkSession, path: str | Path, num_vertices: int
+) -> DataFrame:
+    """Distributed read of a packed-binary match directory back into a
+    (v1..vk long) DataFrame.  Each part file becomes one ``binaryFile``
+    row unpacked by an Arrow-batched kernel — file sizes are bounded by
+    the writer's per-partition sizing, so no single row is unbounded."""
+    k = int(num_vertices)
+    schema = ", ".join(f"v{i + 1} long" for i in range(k))
+    files = sorted(Path(path).glob("*.bin"))
+    if not files:
+        return spark.createDataFrame([], schema)
+    src = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(str(path))
+        .select("content")
+    )
+
+    def unpack(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                arr = np.frombuffer(content, dtype="<u4")
+                if arr.size % k:
+                    raise ValueError(
+                        f"corrupt BIN match file: {arr.size} u32s is not a "
+                        f"multiple of the {k}-vertex record width"
+                    )
+                mat = arr.reshape(-1, k).astype(np.int64)
+                yield pd.DataFrame(
+                    {f"v{i + 1}": mat[:, i] for i in range(k)}
+                )
+
+    return src.mapInPandas(unpack, schema)
+
+
 def to_parquet(spark: SparkSession, bin_dir: str | Path, out_dir: str | Path) -> None:
     """One-time convert of a reference binary graph to parquet tables —
     the scale path: everything downstream reads the distributed table."""

@@ -194,6 +194,13 @@ def output(
     given, vertex ids are remapped to original keys on write (the
     reference's ids.bin remap, core/OutputManager.hh:130-143).
 
+    ``fmt`` is ``parquet`` (the scale path — columnar, splittable,
+    statistics), ``csv`` (the reference's ``output<CSV>``), or ``bin`` —
+    byte-compatible with the reference's ``output<BIN>`` packed u32
+    records (core/OutputManager.hh:80-91; see
+    graph/binfmt.write_matches_bin); ``bin`` requires integer ids that
+    fit u32, like the reference's.
+
     ``broadcast_dict`` (default): hint a broadcast of the id dictionary so
     the k per-column remaps are map-side joins — the match table is the
     WIDEST table in the query (at 100 TB it is the biggest thing in
@@ -211,6 +218,11 @@ def output(
             m = m.join(d, c)
         m = m.select(*[F.col(f"{c}_key").alias(c) for c in vcols])
     dest = f"{path}/{pattern.to_string().replace(',', '_').replace('[', '').replace(']', '')}"
+    if fmt == "bin":
+        from peregrine_spark.graph.binfmt import write_matches_bin
+
+        write_matches_bin(m, dest)
+        return m
     writer = m.write.mode("overwrite")
     (writer.parquet(dest) if fmt == "parquet" else writer.csv(dest))
     return m
