@@ -38,7 +38,7 @@ from peregrine_spark.multimodal.assets import (
     frame_sample_plan,
 )
 from peregrine_spark.operators.fsm import fsm, mni_support, support_at_least
-from peregrine_spark.operators.match import count_motifs, existence
+from peregrine_spark.operators.match import count_incremental, count_motifs, existence
 from peregrine_spark.plans.fast_counts import cycle4_count, star_count
 from peregrine_spark.operators.triangles import triangle_count
 from peregrine_spark.patterns.small_graph import PatternGenerator, SmallGraph
@@ -592,6 +592,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cycle4_count(rel).select(F.col("cnt").alias("four_cycles"))
 
     q["four_cycle_fast"] = q_4cycle_fast
+
+    def q_triangle_incremental(spark, sf_dir):
+        # on-the-fly aggregation (C10, core/Peregrine.hh:453-463): the
+        # match space is chunked on the first matching-order vertex's id
+        # range, one Spark job per chunk, the driver merging the running
+        # count between jobs (each merge = the reference's 300 ms
+        # aggregator tick; a callback can stop() on the running value).
+        # Run to completion the partial sums are exact — same oracle as
+        # triangle_count, so the chunk partitioning itself is value-checked.
+        rel = _relabelled(spark, sf_dir)
+        res = count_incremental(rel, PatternGenerator.clique(3), chunks=4)
+        assert res.completed and res.chunks_run == 4
+        return _one_row(spark, int(res.value), "triangles", "long")
+
+    q["triangle_count_incremental"] = q_triangle_incremental
 
     def q_motif3(spark, sf_dir):
         rel = _relabelled(spark, sf_dir)
@@ -1159,6 +1174,10 @@ def oracle_sql() -> dict[str, str]:
 SELECT CAST(count(*) AS BIGINT) AS triangles
 FROM e e1 JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
 JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst"""
+
+    # chunked counting partitions the match space exactly, so the
+    # completed incremental count answers to the same oracle
+    o["triangle_count_incremental"] = o["triangle_count"]
 
     o["wedge_count"] = f"""WITH e AS ({e}), sym AS ({SYM_SQL})
 SELECT CAST(count(*) AS BIGINT) AS wedges
