@@ -292,3 +292,28 @@ def test_eight_vertex_patterns_generic_compiler(spark):
         canon = compile_match(symmetrized(e), pat, edges_canonical=e).df.count()
         want = brute_count_backtracking(pairs, pat)
         assert got == canon == want > 0, pat.to_string()
+
+
+def test_nine_vertex_patterns_generic_compiler(spark):
+    """9-vertex patterns — the reference's size CEILING (patterns up to
+    size 9, core/PatternGenerator.cc:477-548) — through the generic join
+    compiler in both leg modes, vs the independent backtracking
+    injective-hom / |Aut| oracle. Completes the 7/8-vertex ladder above:
+    every size the reference can mine now has executable generic-compiler
+    evidence."""
+    from peregrine_spark.graph.build import symmetrized
+    from peregrine_spark.plans.compiler import compile_match
+    from tests.oracle import brute_count_backtracking
+
+    pairs = er_graph(14, 0.32, seed=31)
+    e = edges_df(spark, pairs)
+    # spider tree: three legs of length 2,3,3 from a center — asymmetric
+    # enough to exercise the matching-order heuristic at depth 9
+    spider9 = SmallGraph(
+        edges=[(1, 2), (2, 3), (1, 4), (4, 5), (5, 6), (1, 7), (7, 8), (8, 9)]
+    )
+    for pat in (PatternGenerator.cycle(9), spider9):
+        got = compile_match(symmetrized(e), pat).df.count()
+        canon = compile_match(symmetrized(e), pat, edges_canonical=e).df.count()
+        want = brute_count_backtracking(pairs, pat)
+        assert got == canon == want > 0, pat.to_string()
