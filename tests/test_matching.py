@@ -317,3 +317,72 @@ def test_nine_vertex_patterns_generic_compiler(spark):
         canon = compile_match(symmetrized(e), pat, edges_canonical=e).df.count()
         want = brute_count_backtracking(pairs, pat)
         assert got == canon == want > 0, pat.to_string()
+
+
+def _random_pattern(rng):
+    """Random connected pattern: 3-5 true vertices (spanning tree + extra
+    edges), up to 2 anti-edges between non-adjacent true vertices, an
+    optional anti-vertex, and a random partial labelling (wildcard -1 only
+    ever alongside >=1 concrete label, the reference's partially-labelled
+    regime, core/Graph.hh:269-271)."""
+    n = rng.randint(3, 5)
+    edges = [(rng.randint(1, v - 1), v) for v in range(2, n + 1)]
+    present = set(edges)
+    spare = [
+        (u, v)
+        for u, v in itertools.combinations(range(1, n + 1), 2)
+        if (u, v) not in present
+    ]
+    rng.shuffle(spare)
+    k_extra = rng.randint(0, len(spare))
+    edges += spare[:k_extra]
+    anti = []
+    for u, v in spare[k_extra:][:2]:
+        if rng.random() < 0.4:
+            anti.append((u, v))
+    av = None
+    if rng.random() < 0.4:
+        av = n + 1
+        for u in rng.sample(range(1, n + 1), rng.randint(1, 2)):
+            anti.append((u, av))
+    labels = {}
+    if rng.random() < 0.7:
+        for v in range(1, n + 1):
+            if rng.random() < 0.7:
+                labels[v] = rng.randint(1, 3)
+        if labels and av is not None and rng.random() < 0.5:
+            labels[av] = rng.choice([2, -1])
+        # wildcards only make sense against >=1 known label
+        if len(labels) >= 2:
+            flip = rng.choice(sorted(labels))
+            if rng.random() < 0.3 and any(
+                l != -1 for v, l in labels.items() if v != flip
+            ):
+                labels[flip] = -1
+    return SmallGraph(edges=edges, anti_edges=anti, labels=labels)
+
+
+def test_randomized_labelled_anti_sweep(spark):
+    """Seeded randomized sweep over the labelled + anti-edge + anti-vertex
+    pattern space (the M4/M8/M9 interplay; reference surfaces
+    core/PatternMatching.hh:214-219,380-488 and the label wildcard
+    core/DataGraph.cc:105-126) vs the exhaustive brute oracle. The fixed
+    fixtures above pin single points of this space; this sweeps 12
+    deterministic random points through the SAME public count() surface so
+    feature interactions (e.g. a wildcard label on an anti-vertex inside a
+    symmetry-broken orbit) are regression-tested, not just reviewed."""
+    rng = __import__("random").Random(4242)
+    pairs = er_graph(14, 0.35, seed=97)
+    data_labels = {v: rng.randint(1, 3) for v in range(1, 15)}
+    e = edges_df(spark, pairs)
+    vdf = spark.createDataFrame(
+        [(v, l) for v, l in data_labels.items()], "v long, label long"
+    )
+    total = 0
+    for trial in range(12):
+        pat = _random_pattern(rng)
+        [(_, got)] = count(e, pat, vertices=vdf if pat.labels else None)
+        want = brute_count(pairs, pat, labels=data_labels if pat.labels else None)
+        assert got == want, (trial, pat.to_string(), got, want)
+        total += got
+    assert total > 0  # the sweep must actually exercise matching
