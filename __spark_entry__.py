@@ -40,7 +40,7 @@ from peregrine_spark.multimodal.assets import (
 from peregrine_spark.operators.fsm import fsm, mni_support, support_at_least
 from peregrine_spark.operators.match import count_incremental, count_motifs, existence
 from peregrine_spark.plans.fast_counts import cycle4_count, star_count
-from peregrine_spark.operators.triangles import triangle_count
+from peregrine_spark.operators.triangles import local_clustering, triangle_count
 from peregrine_spark.patterns.small_graph import PatternGenerator, SmallGraph
 from peregrine_spark.plans.compiler import compile_match
 from peregrine_spark.graph.build import symmetrized
@@ -890,6 +890,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["top_degree_vertices"] = q_top_degree
 
+    def q_local_clustering(spark, sf_dir):
+        # per-vertex analytics on the shared relabelled graph (degree-oriented
+        # wedge join stays sqrt-bounded), reported on ORIGINAL part ids via
+        # the (v, old) map — one broadcast-sized key join at this SF
+        rel, mapping = _relabelled_with_map(spark, sf_dir)
+        out = local_clustering(rel, id_map=mapping.select("v", "old"))
+        return out.select(
+            F.col("v").cast("long").alias("part"), "triangles", "degree", "clustering"
+        )
+
+    q["local_clustering"] = q_local_clustering
+
     # -- vertex-program tier ------------------------------------------------
     def q_pagerank(spark, sf_dir):
         res = pagerank(_edges(spark, sf_dir), max_iters=3, tol=-1.0)
@@ -1316,6 +1328,21 @@ deg AS (SELECT src AS v, count(*) AS degree FROM sym GROUP BY 1),
 rnk AS (SELECT v, degree, row_number() OVER (ORDER BY degree DESC, v) AS r FROM deg)
 SELECT CAST(r AS BIGINT) AS rank, v AS part, CAST(degree AS BIGINT) AS degree
 FROM rnk WHERE r <= 20"""
+
+    o["local_clustering"] = f"""WITH e AS ({e}), sym AS ({SYM_SQL}),
+deg AS (SELECT src AS v, count(*) AS degree FROM sym GROUP BY 1),
+t AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM e e1 JOIN e e2 ON e2.src = e1.dst
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+tv AS (SELECT a AS v FROM t UNION ALL SELECT b AS v FROM t UNION ALL SELECT c AS v FROM t),
+tc AS (SELECT v, count(*) AS triangles FROM tv GROUP BY 1)
+SELECT CAST(d.v AS BIGINT) AS part,
+       CAST(coalesce(tc.triangles, 0) AS BIGINT) AS triangles,
+       CAST(d.degree AS BIGINT) AS degree,
+       round(CASE WHEN d.degree >= 2
+             THEN 2.0 * coalesce(tc.triangles, 0) / (d.degree * (d.degree - 1.0))
+             ELSE 0.0 END, 6) AS clustering
+FROM deg d LEFT JOIN tc ON tc.v = d.v"""
 
     o["pagerank3"] = _pagerank_sql(3)
     o["pagerank3_csr"] = _pagerank_sql(3)

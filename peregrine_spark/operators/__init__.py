@@ -1,3 +1,7 @@
-from peregrine_spark.operators.triangles import triangle_count, triangle_count_per_vertex
+from peregrine_spark.operators.triangles import (
+    local_clustering,
+    triangle_count,
+    triangle_count_per_vertex,
+)
 
-__all__ = ["triangle_count", "triangle_count_per_vertex"]
+__all__ = ["local_clustering", "triangle_count", "triangle_count_per_vertex"]

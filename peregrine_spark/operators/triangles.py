@@ -84,3 +84,49 @@ def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
     )
     stacked = tri.selectExpr("stack(3, a, b, c) as (v)")
     return stacked.groupBy("v").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def local_clustering(
+    edges: DataFrame, id_map: DataFrame | None = None, decimals: int = 6
+) -> DataFrame:
+    """Per-vertex local clustering coefficient over the canonical (src<dst)
+    edge table: (v, triangles, degree, clustering) with
+
+        clustering(v) = 2 * T(v) / (deg(v) * (deg(v) - 1))   for deg >= 2
+                      = 0.0                                   otherwise
+
+    rounded to ``decimals``. The reference computes per-vertex pattern
+    participation through its vertex-keyed MapAggregator
+    (core/aggregators/Aggregator.hh:40-131); here that is literally a
+    groupBy over the degree-oriented triangle listing — two partial-agg
+    groupBys (triangles per vertex, degree per vertex) and one hash join
+    on the vertex key, all JVM-side column expressions. With ``id_map``
+    (columns v, old) the result is reported on original vertex ids via one
+    more key join.
+    """
+    from peregrine_spark.graph.from_tables import degrees
+
+    tri = triangle_count_per_vertex(edges)
+    deg = degrees(edges)
+    out = deg.join(tri, "v", "left").select(
+        "v",
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        F.col("degree").cast("long").alias("degree"),
+    )
+    if id_map is not None:
+        out = (
+            out.join(id_map.select("v", "old"), "v")
+            .select(F.col("old").alias("v"), "triangles", "degree")
+        )
+    return out.select(
+        "v",
+        "triangles",
+        "degree",
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1.0)),
+            ).otherwise(0.0),
+            decimals,
+        ).alias("clustering"),
+    )

@@ -40,6 +40,50 @@ def test_triangle_count_er_oracle(spark):
     assert sum(per_v.values()) == 3 * expected
 
 
+def test_local_clustering_vs_brute(spark):
+    from collections import defaultdict
+
+    from peregrine_spark.operators.triangles import local_clustering
+
+    pairs = er_graph(30, 0.2, seed=13)
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    rows = local_clustering(edges_df(spark, pairs)).collect()
+    assert {r["v"] for r in rows} == set(adj)
+    for r in rows:
+        nbrs = adj[r["v"]]
+        d = len(nbrs)
+        t = sum(1 for u, w in itertools.combinations(sorted(nbrs), 2) if w in adj[u])
+        assert r["degree"] == d
+        assert r["triangles"] == t
+        expected = 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0
+        assert abs(r["clustering"] - round(expected, 6)) < 1e-9, r
+
+
+def test_local_clustering_closed_forms(spark):
+    from peregrine_spark.operators.triangles import local_clustering
+
+    # clique: every vertex fully clustered; star: hub + leaves all 0
+    rows = local_clustering(edges_df(spark, K(5))).collect()
+    assert all(r["clustering"] == 1.0 and r["triangles"] == 6 for r in rows)
+    star = [(1, i) for i in range(2, 7)]
+    rows = local_clustering(edges_df(spark, star)).collect()
+    assert all(r["clustering"] == 0.0 and r["triangles"] == 0 for r in rows)
+    # degree-1 leaves take the 0.0 branch, not a divide-by-zero
+    assert {r["degree"] for r in rows} == {1, 5}
+    # id_map reports original ids
+    mapped = local_clustering(
+        edges_df(spark, K(4)),
+        id_map=spark.createDataFrame(
+            [(v, v * 100) for v in range(1, 5)], "v long, old long"
+        ),
+    ).collect()
+    assert {r["v"] for r in mapped} == {100, 200, 300, 400}
+    assert all(r["clustering"] == 1.0 for r in mapped)
+
+
 def test_clique_counts_closed_form(spark):
     e = edges_df(spark, K(7))
     for k in (3, 4, 5):

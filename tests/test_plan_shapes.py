@@ -62,12 +62,17 @@ def test_text_and_graph_hot_paths_stay_jvm_side(spark):
     triangle plan — everything is built-in column expressions that stay
     inside the JVM and whole-stage codegen. (Arrow kernels are allowed
     only where declared: the CSR gather-scatter, the multimodal decode.)"""
-    from peregrine_spark.operators.triangles import triangle_count
+    from peregrine_spark.operators.triangles import local_clustering, triangle_count
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     edges = chain_edges(li, "l_orderkey", "l_partkey", ["l_linenumber"])
-    for df in (quality_score(docs), lang_id(docs), triangle_count(edges)):
+    for df in (
+        quality_score(docs),
+        lang_id(docs),
+        triangle_count(edges),
+        local_clustering(edges),
+    ):
         plan = plan_of(df)
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
