@@ -902,6 +902,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["local_clustering"] = q_local_clustering
 
+    def q_bfs_hops(spark, sf_dir):
+        # hop distances from the highest-degree vertex (= relabelled id 1,
+        # the same (degree DESC, id) tie-break the oracle's ORDER BY uses),
+        # reported on ORIGINAL part ids; only reached vertices returned
+        from peregrine_spark.supersteps.bfs import bfs_hops
+
+        rel, mapping = _relabelled_with_map(spark, sf_dir)
+        res = bfs_hops(rel, [1], max_iters=100)
+        if not res.converged:
+            raise RuntimeError("bfs_hops did not converge within 100 supersteps")
+        out = res.state.where(F.col("dist").isNotNull()).join(
+            mapping.select("v", "old"), "v"
+        )
+        return out.select(
+            F.col("old").cast("long").alias("part"),
+            F.col("dist").cast("long").alias("dist"),
+        )
+
+    q["bfs_hops"] = q_bfs_hops
+
     # -- vertex-program tier ------------------------------------------------
     def q_pagerank(spark, sf_dir):
         res = pagerank(_edges(spark, sf_dir), max_iters=3, tol=-1.0)
@@ -1343,6 +1363,22 @@ SELECT CAST(d.v AS BIGINT) AS part,
              THEN 2.0 * coalesce(tc.triangles, 0) / (d.degree * (d.degree - 1.0))
              ELSE 0.0 END, 6) AS clustering
 FROM deg d LEFT JOIN tc ON tc.v = d.v"""
+
+    # hop distances from the highest-degree vertex: recursive frontier walk,
+    # UNION-deduped on (v, dist); min over dists = BFS distance. The 99-hop
+    # bound only trims cycle re-visits — the Spark side raises if the true
+    # eccentricity ever exceeded it (it converges in ~15 hops at this SF)
+    o["bfs_hops"] = f"""WITH RECURSIVE e AS ({e}), sym AS ({SYM_SQL}),
+deg AS (SELECT src AS v, count(*) AS degree FROM sym GROUP BY 1),
+root AS (SELECT v FROM deg ORDER BY degree DESC, v LIMIT 1),
+walk(v, dist) AS (
+    SELECT v, 0 FROM root
+  UNION
+    SELECT sym.dst, walk.dist + 1 FROM walk JOIN sym ON sym.src = walk.v
+    WHERE walk.dist < 99
+)
+SELECT CAST(v AS BIGINT) AS part, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY v"""
 
     o["pagerank3"] = _pagerank_sql(3)
     o["pagerank3_csr"] = _pagerank_sql(3)

@@ -166,6 +166,29 @@ def brute_components(pairs):
     return comp
 
 
+def brute_bfs(pairs, sources):
+    """Multi-source BFS hop distances over the undirected graph; returns
+    {v: dist} for REACHED vertices only (sources outside the graph's vertex
+    set are ignored, matching bfs_hops)."""
+    from collections import deque
+
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in sources if s in adj}
+    queue = deque(dist)
+    while queue:
+        u = queue.popleft()
+        for w in adj[u]:
+            if w not in dist:
+                dist[w] = dist[u] + 1
+                queue.append(w)
+    return dist
+
+
 def brute_count_backtracking(pairs, pattern: SmallGraph) -> int:
     """Exact unique-occurrence count of an UNLABELLED, anti-edge-free
     pattern — backtracking injective-homomorphism enumeration / |Aut|.

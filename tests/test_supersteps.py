@@ -7,6 +7,7 @@ import pytest
 
 from peregrine_spark.supersteps import (
     SuperstepEngine,
+    bfs_hops,
     connected_components,
     label_propagation,
     pagerank,
@@ -102,6 +103,57 @@ def test_label_propagation_matches_oracle(spark):
     got = dict((r["v"], r["label"]) for r in res.state.collect())
     truth = brute_lp(pairs, res.iterations)
     assert got == truth
+
+
+def test_bfs_hops_matches_oracle(spark):
+    from tests.oracle import brute_bfs
+
+    pairs = er_graph(40, 0.1, seed=41)  # sparse: nontrivial hops + unreached
+    verts = {v for p in pairs for v in p}
+    e = edges_df(spark, pairs)
+    for sources in ([1], [1, 40]):
+        res = bfs_hops(e, sources, max_iters=50)
+        assert res.converged
+        got = {r["v"]: r["dist"] for r in res.state.collect()}
+        truth = brute_bfs(pairs, sources)
+        assert set(got) == verts
+        for v in verts:
+            assert got[v] == truth.get(v), (sources, v)  # None == unreached
+
+
+def test_bfs_hops_closed_forms(spark):
+    # chain: dist from 1 is v-1; the final superstep settles one vertex
+    chain = [(i, i + 1) for i in range(1, 8)]
+    res = bfs_hops(edges_df(spark, chain), [1], max_iters=20)
+    assert res.converged
+    assert {r["v"]: r["dist"] for r in res.state.collect()} == {
+        v: v - 1 for v in range(1, 9)
+    }
+    # bridged cliques: k4 side is 1 hop from the bridge, 2 from the k5 core
+    pairs, _ = two_cliques_bridge()
+    res = bfs_hops(edges_df(spark, pairs), [1], max_iters=20)
+    got = {r["v"]: r["dist"] for r in res.state.collect()}
+    assert got[5] == 1 and got[10] == 2
+    assert all(got[v] == 3 for v in (11, 12, 13))
+    # a source outside the graph's vertex set is ignored: nothing reached
+    res = bfs_hops(edges_df(spark, chain), [999], max_iters=5)
+    assert res.converged
+    assert all(r["dist"] is None for r in res.state.collect())
+
+
+def test_bfs_resume_equivalence(spark, tmp_path):
+    pairs = er_graph(30, 0.12, seed=47)
+    e = edges_df(spark, pairs)
+    full = bfs_hops(e, [1], max_iters=20).state.collect()
+    eng = SuperstepEngine(spark, str(tmp_path / "bfs"), run_id="bfs")
+    bfs_hops(e, [1], max_iters=2, engine=eng)
+    resumed = bfs_hops(e, [1], max_iters=20, engine=eng, resume=True)
+    assert {(r["v"], r["dist"]) for r in resumed.state.collect()} == {
+        (r["v"], r["dist"]) for r in full
+    }
+    # the resumed run restarted from the step-2 checkpoint, not from scratch
+    steps = sorted(p.name for p in (tmp_path / "bfs" / "bfs").glob("step=*"))
+    assert steps and steps[0] == "step=00000"
 
 
 def test_checkpoint_resume_equivalence(spark, tmp_path):
