@@ -471,6 +471,42 @@ def _kcore_oracle_sql(k: int, rounds: int, filt: str | None = None) -> str:
     return ",\n".join(parts) + f"\nSELECT src, dst FROM p{rounds}, conv WHERE conv.ok"
 
 
+KTRUSS_ROUNDS = 12  # sf0.01 fixpoint measured at 10 peel rounds
+
+
+def _ktruss_oracle_sql(k: int, rounds: int) -> str:
+    """Edges of the k-truss by ``rounds`` unrolled peel iterations (each:
+    enumerate triangles a<b<c on the surviving edge set, count per-edge
+    support over the three stacked canonical edges, keep support >= k-2).
+    Same convergence discipline as :func:`_kcore_oracle_sql`: the peel is
+    monotone decreasing, so the final SELECT asserts the last two rounds
+    are equal in size and error()s if ``rounds`` stopped short."""
+    parts = [f"WITH e AS MATERIALIZED ({_e_sql()})", "p0 AS (SELECT src, dst FROM e)"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"t{i} AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c "
+            f"FROM p{i-1} e1 JOIN p{i-1} e2 ON e2.src = e1.dst "
+            f"JOIN p{i-1} e3 ON e3.src = e1.src AND e3.dst = e2.dst)"
+        )
+        parts.append(
+            f"s{i} AS (SELECT src, dst, count(*) AS s FROM ("
+            f"SELECT a AS src, b AS dst FROM t{i} "
+            f"UNION ALL SELECT b AS src, c AS dst FROM t{i} "
+            f"UNION ALL SELECT a AS src, c AS dst FROM t{i}) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT p.src, p.dst FROM p{i-1} p "
+            f"JOIN s{i} s ON s.src = p.src AND s.dst = p.dst WHERE s.s >= {k - 2})"
+        )
+    parts.append(
+        "conv AS (SELECT CASE WHEN "
+        f"(SELECT count(*) FROM p{rounds}) = (SELECT count(*) FROM p{rounds-1}) "
+        f"THEN true ELSE error('ktruss oracle unconverged after {rounds} rounds "
+        "- raise KTRUSS_ROUNDS for this scale') END AS ok)"
+    )
+    return ",\n".join(parts) + f"\nSELECT src, dst FROM p{rounds}, conv WHERE conv.ok"
+
+
 def _fsm3_oracle_sql(filt: str, support: int) -> str:
     """MNI supports of every labelled pattern with <= 3 vertices (edge /
     wedge / triangle, labels = v % 5) at threshold ``support`` — closed-form
@@ -867,6 +903,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kcore3_edges"] = q_kcore
 
+    def q_ktruss(spark, sf_dir):
+        from peregrine_spark.operators.triangles import ktruss
+
+        return ktruss(_edges(spark, sf_dir), 4).select("src", "dst")
+
+    q["ktruss4_edges"] = q_ktruss
+
     # -- degree / ingest tier ----------------------------------------------
     def q_deg_hist(spark, sf_dir):
         return (
@@ -1247,6 +1290,7 @@ SELECT CAST(3 AS BIGINT), CAST(t.c AS BIGINT) FROM t"""
     o["motif4_edge_induced"] = _motif_edge_oracle_sql(4, MOTIF5_FILTER)
     o["fsm_size4"] = _fsm_mni_oracle_sql(MOTIF5_FILTER, FSM4_SUPPORT, FSM4_MOD)
     o["kcore3_edges"] = _kcore_oracle_sql(3, KCORE_ROUNDS)
+    o["ktruss4_edges"] = _ktruss_oracle_sql(4, KTRUSS_ROUNDS)
 
     o["fsm_size3"] = _fsm3_oracle_sql(MOTIF5_FILTER, FSM3_SUPPORT)
 

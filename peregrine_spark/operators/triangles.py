@@ -86,6 +86,75 @@ def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
     return stacked.groupBy("v").agg(F.count(F.lit(1)).alias("triangles"))
 
 
+def ktruss(edges: DataFrame, k: int, max_iters: int = 100) -> DataFrame:
+    """Edges of the k-truss — the maximal subgraph in which every edge
+    closes at least k−2 triangles — of a canonical (src<dst) edge table.
+
+    The triangle analogue of :func:`peregrine_spark.graph.build.kcore`'s
+    degree peel, and the same Spark shape: per round, list triangles with
+    the degree-oriented two-join (sqrt-bounded fan-out, hub-skew-safe on
+    degree-descending ids), stack each triangle's three canonical edges,
+    count support per edge with one partial-agg groupBy, and left_semi the
+    surviving edges. The edge set shrinks monotonically, so fixpoint is
+    detected by count equality; every round eagerly ``localCheckpoint``s
+    the survivors and releases the previous round's blocks (plan
+    truncation — a persist would grow lineage superlinearly over tens of
+    peel rounds). Edges in no triangle have support 0 and drop in round
+    one. Standard use: community cores and as an exact reducer for clique
+    queries (every k-clique lives in the k-truss).
+    """
+    if k < 3:
+        raise ValueError(f"k-truss needs k >= 3, got {k}")
+    from peregrine_spark.session import release_checkpoint
+
+    cur = edges.localCheckpoint(eager=True)
+    n = cur.count()
+    for _ in range(max_iters):
+        if n == 0:
+            break
+        e1 = _oriented(cur).alias("e1")
+        e2 = _oriented(cur).alias("e2")
+        e3 = _oriented(cur).alias("e3")
+        tri = (
+            e1.join(
+                e2,
+                (F.col("e1.src") == F.col("e2.src"))
+                & (F.col("e1.dst") > F.col("e2.dst")),
+            )
+            .join(
+                e3,
+                (F.col("e1.dst") == F.col("e3.src"))
+                & (F.col("e2.dst") == F.col("e3.dst")),
+                "left_semi",
+            )
+            .select(
+                F.col("e1.src").alias("x"),
+                F.col("e1.dst").alias("y"),
+                F.col("e2.dst").alias("z"),
+            )
+        )
+        support = (
+            tri.selectExpr(
+                "stack(3, least(x,y), greatest(x,y),"
+                " least(y,z), greatest(y,z),"
+                " least(x,z), greatest(x,z)) as (src, dst)"
+            )
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("s"))
+            .where(F.col("s") >= k - 2)
+        )
+        nxt = cur.join(
+            support.select("src", "dst"), ["src", "dst"], "left_semi"
+        ).localCheckpoint(eager=True)
+        m = nxt.count()
+        release_checkpoint(cur)
+        cur = nxt
+        if m == n:
+            break
+        n = m
+    return cur
+
+
 def local_clustering(
     edges: DataFrame, id_map: DataFrame | None = None, decimals: int = 6
 ) -> DataFrame:

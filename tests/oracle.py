@@ -189,6 +189,21 @@ def brute_bfs(pairs, sources):
     return dist
 
 
+def brute_ktruss(pairs, k):
+    """Edge set of the k-truss (every edge in >= k-2 triangles), iterated to
+    fixpoint; returns canonical (src, dst) pairs."""
+    E = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    while True:
+        adj: dict[int, set[int]] = {}
+        for a, b in E:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        keep = {(a, b) for a, b in E if len(adj[a] & adj[b]) >= k - 2}
+        if keep == E:
+            return E
+        E = keep
+
+
 def brute_count_backtracking(pairs, pattern: SmallGraph) -> int:
     """Exact unique-occurrence count of an UNLABELLED, anti-edge-free
     pattern — backtracking injective-homomorphism enumeration / |Aut|.

@@ -40,6 +40,33 @@ def test_triangle_count_er_oracle(spark):
     assert sum(per_v.values()) == 3 * expected
 
 
+def test_ktruss_vs_brute(spark):
+    from peregrine_spark.operators.triangles import ktruss
+    from tests.oracle import brute_ktruss
+
+    pairs = er_graph(25, 0.3, seed=17)
+    for k in (3, 4, 5):
+        got = {(r["src"], r["dst"]) for r in ktruss(edges_df(spark, pairs), k).collect()}
+        assert got == brute_ktruss(pairs, k), k
+
+
+def test_ktruss_closed_forms(spark):
+    from peregrine_spark.operators.triangles import ktruss
+
+    # K5: every edge closes 3 triangles -> survives k<=5, empty at k=6
+    assert ktruss(edges_df(spark, K(5)), 5).count() == 10
+    assert ktruss(edges_df(spark, K(5)), 6).count() == 0
+    # triangle-free graphs vanish at k=3; peel cascades: a triangle with a
+    # pendant edge keeps only the triangle
+    ring = [(i, i % 8 + 1) for i in range(1, 9)]
+    assert ktruss(edges_df(spark, ring), 3).count() == 0
+    tri_pendant = [(1, 2), (1, 3), (2, 3), (3, 4)]
+    got = {(r["src"], r["dst"]) for r in ktruss(edges_df(spark, tri_pendant), 3).collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}
+    with pytest.raises(ValueError):
+        ktruss(edges_df(spark, ring), 2)
+
+
 def test_local_clustering_vs_brute(spark):
     from collections import defaultdict
 
