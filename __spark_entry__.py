@@ -190,6 +190,34 @@ def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
     return ",\n".join(parts) + f"\nSELECT v, round(rank, 6) AS rank FROM r{iters}"
 
 
+def _ppr_sql(iters: int) -> str:
+    """Personalized PageRank from the highest-degree vertex (same
+    (deg DESC, v) root as the bfs_hops oracle): teleport mass 1 at the
+    root, 0 elsewhere; otherwise identical unrolled iteration to
+    :func:`_pagerank_sql` with the teleport column carried through."""
+    parts = [
+        f"WITH e AS ({_e_sql()})",
+        f"sym AS ({SYM_SQL})",
+        "deg AS (SELECT src AS v, count(*) AS deg FROM sym GROUP BY 1)",
+        "root AS (SELECT v FROM deg ORDER BY deg DESC, v LIMIT 1)",
+        "r0 AS (SELECT v, deg, tp, tp AS rank FROM (SELECT deg.v, deg.deg, "
+        "CASE WHEN deg.v = root.v THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END "
+        "AS tp FROM deg, root))",
+    ]
+    d = "CAST(0.85 AS DOUBLE)"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"c{i} AS (SELECT sym.dst AS v, sum(r{i-1}.rank / r{i-1}.deg) AS inflow "
+            f"FROM sym JOIN r{i-1} ON sym.src = r{i-1}.v GROUP BY 1)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT r{i-1}.v, r{i-1}.deg, r{i-1}.tp, "
+            f"(1 - {d}) * r{i-1}.tp + {d} * coalesce(c{i}.inflow, 0) AS rank "
+            f"FROM r{i-1} LEFT JOIN c{i} ON r{i-1}.v = c{i}.v)"
+        )
+    return ",\n".join(parts) + f"\nSELECT v, round(rank, 6) AS rank FROM r{iters}"
+
+
 def _inj_hom_sql(p) -> tuple[str, str]:
     """(FROM clause, WHERE clause) counting *injective homomorphisms* of
     unlabelled pattern ``p`` into the ``sym`` view: one sym leg per pattern
@@ -978,6 +1006,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pagerank3_csr"] = q_pagerank_csr
 
+    def q_ppr(spark, sf_dir):
+        # personalized from the highest-degree vertex — relabelled id 1's
+        # ORIGINAL id, the same (degree DESC, id) root the oracle selects
+        _, mapping = _relabelled_with_map(spark, sf_dir)
+        root = mapping.where(F.col("v") == 1).collect()[0]["old"]
+        res = pagerank(_edges(spark, sf_dir), max_iters=3, tol=-1.0, sources=[root])
+        return res.state.select("v", F.round("rank", 6).alias("rank"))
+
+    q["personalized_pagerank3"] = q_ppr
+
     def q_cc(spark, sf_dir):
         # min-label propagation needs ~diameter supersteps; retry with a
         # doubled budget rather than silently returning unconverged labels
@@ -1426,6 +1464,7 @@ FROM walk GROUP BY v"""
 
     o["pagerank3"] = _pagerank_sql(3)
     o["pagerank3_csr"] = _pagerank_sql(3)
+    o["personalized_pagerank3"] = _ppr_sql(3)
 
     o["connected_components"] = f"""WITH RECURSIVE e AS ({ef}), sym AS ({SYM_SQL}),
 reach(v, r) AS (

@@ -55,6 +55,29 @@ def _init_state(deg: DataFrame) -> tuple[DataFrame, int]:
     )
 
 
+def _init_state_tp(deg: DataFrame, sources) -> DataFrame:
+    """State (v, deg, tp, rank) with an explicit per-vertex teleport
+    distribution. ``sources=None`` is classic PageRank (uniform 1/n —
+    identical values to :func:`_init_state`); otherwise teleport mass is
+    1/|S| over the source vertices present in the graph (personalized
+    PageRank / random walk with restart). rank_0 = tp in both cases."""
+    if sources is None:
+        n = deg.count()
+        tp = F.lit(1.0 / n)
+        return deg.select("v", "deg", tp.alias("tp"), tp.alias("rank"))
+    src_df = deg.sparkSession.createDataFrame(
+        [(int(s),) for s in sorted(set(sources))], "v long"
+    )
+    marked = deg.join(
+        F.broadcast(src_df.select("v", F.lit(True).alias("_s"))), "v", "left"
+    )
+    k = marked.where(F.col("_s")).count()
+    if k == 0:
+        raise ValueError("personalized pagerank: no source vertex is in the graph")
+    tp = F.when(F.col("_s"), F.lit(1.0 / k)).otherwise(F.lit(0.0))
+    return marked.select("v", "deg", tp.alias("tp"), tp.alias("rank"))
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
@@ -64,9 +87,15 @@ def pagerank(
     resume: bool = False,
     check_every: int = 1,
     n_partitions: int | None = None,
+    sources=None,
 ) -> SuperstepResult:
     """Strategy A: pure-DataFrame supersteps. ``edges`` is canonical
-    (src<dst); state schema (v, deg, rank).
+    (src<dst); state schema (v, deg, tp, rank) where tp is the teleport
+    distribution — uniform 1/n by default, or (``sources=``) 1/|S| over a
+    source set for PERSONALIZED PageRank (random walk with restart: rank
+    mass re-injects only at the sources, scoring proximity to them). The
+    teleport column rides in the state, so personalization adds zero
+    extra joins per superstep.
 
     check_every: convergence (L1 delta) is measured every k-th superstep;
     in between, a superstep is exactly ONE Spark job (the truncation pass)
@@ -95,28 +124,29 @@ def pagerank(
             .agg(F.sum("c").alias("inflow"))
         )
         new = (
-            state.select("v", "deg", F.col("rank").alias("old"))
+            state.select("v", "deg", "tp", F.col("rank").alias("old"))
             .join(contrib, "v", "left")
             .select(
                 "v",
                 "deg",
+                "tp",
                 (
-                    F.lit((1 - damping) / n)
+                    F.lit(1 - damping) * F.col("tp")
                     + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
                 ).alias("rank"),
                 "old",
             )
         )
         if (i + 1) % check_every and i != max_iters - 1:
-            return new.select("v", "deg", "rank"), None
+            return new.select("v", "deg", "tp", "rank"), None
         new.persist()
         delta = new.agg(F.sum(F.abs(F.col("rank") - F.col("old")))).collect()[0][0]
         cache_box.append(new)
-        out = new.select("v", "deg", "rank")
+        out = new.select("v", "deg", "tp", "rank")
         return out, float(delta or 0.0)
 
     with shuffle_partitions(spark, n_part):
-        state0, n = _init_state(_degrees(sym))
+        state0 = _init_state_tp(_degrees(sym), sources)
         res = engine.run(state0, step, max_iters=max_iters, tol=tol, resume=resume)
     while cache_box:
         cache_box.pop().unpersist()

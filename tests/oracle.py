@@ -120,9 +120,11 @@ def brute_induced_counts(pairs, size: int):
     return out
 
 
-def brute_pagerank(pairs, damping=0.85, iters=20):
+def brute_pagerank(pairs, damping=0.85, iters=20, sources=None):
     """NumPy-free reference PageRank on the symmetrized graph (degree>0
-    vertices only), uniform init 1/n, no dangling (undirected ⇒ none)."""
+    vertices only), no dangling (undirected ⇒ none). ``sources=None``:
+    uniform teleport 1/n and init 1/n; otherwise personalized — teleport
+    and init are 1/|S| over the source vertices present in the graph."""
     adj: dict[int, list[int]] = {}
     for a, b in pairs:
         if a == b:
@@ -131,14 +133,19 @@ def brute_pagerank(pairs, damping=0.85, iters=20):
         adj.setdefault(b, []).append(a)
     vs = sorted(adj)
     n = len(vs)
-    rank = {v: 1.0 / n for v in vs}
+    if sources is None:
+        tp = {v: 1.0 / n for v in vs}
+    else:
+        present = sorted(set(sources) & set(vs))
+        tp = {v: (1.0 / len(present) if v in present else 0.0) for v in vs}
+    rank = dict(tp)
     for _ in range(iters):
         contrib = {v: 0.0 for v in vs}
         for v in vs:
             share = rank[v] / len(adj[v])
             for w in adj[v]:
                 contrib[w] += share
-        rank = {v: (1 - damping) / n + damping * contrib[v] for v in vs}
+        rank = {v: (1 - damping) * tp[v] + damping * contrib[v] for v in vs}
     return rank
 
 

@@ -105,6 +105,24 @@ def test_label_propagation_matches_oracle(spark):
     assert got == truth
 
 
+def test_personalized_pagerank_matches_oracle(spark):
+    pairs = er_graph(35, 0.15, seed=53)
+    e = edges_df(spark, pairs)
+    for sources in ([1], [1, 7, 20]):
+        res = pagerank(e, max_iters=15, tol=0.0, sources=sources)
+        got = {r["v"]: r["rank"] for r in res.state.collect()}
+        truth = brute_pagerank(pairs, iters=15, sources=sources)
+        assert set(got) == set(truth)
+        for v in truth:
+            assert abs(got[v] - truth[v]) < 1e-6, (sources, v)
+        # mass conserves to 1 and concentrates near the sources
+        assert abs(sum(got.values()) - 1.0) < 1e-6
+        assert max(got, key=got.get) in sources
+    # sources absent from the graph are an error, not a silent uniform fall-back
+    with pytest.raises(ValueError):
+        pagerank(e, max_iters=2, sources=[10_000])
+
+
 def test_bfs_hops_matches_oracle(spark):
     from tests.oracle import brute_bfs
 
