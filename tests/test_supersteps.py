@@ -174,6 +174,58 @@ def test_bfs_resume_equivalence(spark, tmp_path):
     assert steps and steps[0] == "step=00000"
 
 
+def test_randomized_vertex_analytics_sweep(spark):
+    """Seeded randomized sweep of the round-5 vertex-analytics surface
+    (bfs_hops / ktruss / local_clustering / personalized pagerank) over
+    graphs of varying density vs their brute oracles — the same
+    sweep-through-the-public-surface discipline as the pattern sweep in
+    test_matching: fixed fixtures pin single points, this regression-tests
+    the space between them."""
+    import random as _random
+
+    from peregrine_spark.operators.triangles import ktruss, local_clustering
+    from tests.oracle import brute_bfs, brute_ktruss
+
+    rng = _random.Random(777)
+    for trial in range(4):
+        n = rng.randint(12, 26)
+        p = rng.choice([0.12, 0.25, 0.4])
+        pairs = er_graph(n, p, seed=rng.randint(1, 10_000))
+        if not pairs:
+            continue
+        verts = sorted({v for pr in pairs for v in pr})
+        e = edges_df(spark, pairs)
+
+        src = rng.choice(verts)
+        res = bfs_hops(e, [src], max_iters=60)
+        assert res.converged
+        got = {r["v"]: r["dist"] for r in res.state.collect()}
+        truth = brute_bfs(pairs, [src])
+        assert all(got[v] == truth.get(v) for v in verts), (trial, src)
+
+        k = rng.randint(3, 5)
+        got_t = {(r["src"], r["dst"]) for r in ktruss(e, k).collect()}
+        assert got_t == brute_ktruss(pairs, k), (trial, k)
+
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        for r in local_clustering(e).collect():
+            nbrs = adj[r["v"]]
+            t = sum(
+                1 for u, w in itertools.combinations(sorted(nbrs), 2) if w in adj[u]
+            )
+            d = len(nbrs)
+            want = round(2.0 * t / (d * (d - 1)), 6) if d >= 2 else 0.0
+            assert r["triangles"] == t and abs(r["clustering"] - want) < 1e-9, trial
+
+        ppr = pagerank(e, max_iters=8, tol=0.0, sources=[src])
+        got_r = {r["v"]: r["rank"] for r in ppr.state.collect()}
+        truth_r = brute_pagerank(pairs, iters=8, sources=[src])
+        assert all(abs(got_r[v] - truth_r[v]) < 1e-6 for v in verts), (trial, src)
+
+
 def test_checkpoint_resume_equivalence(spark, tmp_path):
     pairs = er_graph(30, 0.15, seed=43)
     e = edges_df(spark, pairs)
